@@ -1,0 +1,287 @@
+"""Rainbow DQN (C51 + NoisyNet + Dueling, optional PER / n-step) on-device.
+
+TPU-native redesign of the reference Rainbow trainer
+(scripts/ranbowdqn.py:623-700) with the full actor+replay+learner fused
+into one jitted scan, like agents.dqn.
+
+Reference semantics preserved:
+* both players driven by the same learning net in self-play; the
+  opponent sees a rolled observation -- the reference rolls by 3
+  (``state[3:] + state[:3]``, ranbowdqn.py:669), a bug for the 10-dim
+  obs whose correct half-swap is 5 (cf. main.py:199).  ``opponent_roll``
+  defaults to the correct 5; set 3 to reproduce the reference exactly;
+* greedy action = argmax of E[Z] with the *current* noise -- no epsilon
+  (ranbowdqn.py:543-548); noise is resampled only inside the learn step
+  (``reset_noise`` on both nets, ranbowdqn.py:606-607);
+* C51 projection with gamma=0.99 hardcoded and the support-weighted mass
+  quirk (see ops.projection); cross-entropy on the action's distribution
+  clamped to [0.01, 0.99] (ranbowdqn.py:595-600);
+* Adam(1e-3), batch 32, 10000-slot ring sampled uniformly over the fill
+  (ranbowdqn.py:645-653, 322), learning once fill > batch;
+* hard target sync every 20 *episodes* (ranbowdqn.py:690-691), tracked
+  through the vectorised episode counter.
+
+First-class extensions the reference only gestures at (SURVEY.md
+sections 2.3, 7.6): prioritised replay (``per=True``; the reference's
+``PrioritizedReplayBuffer`` is dead code, ranbowdqn.py:326-437) and
+n-step returns (``n_step > 1``) computed on-device from per-env history
+windows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from merging_gym_tpu.agents import dqn as D
+from merging_gym_tpu.core import constants as C
+from merging_gym_tpu.core import env as core_env
+from merging_gym_tpu.core.env import EnvParams
+from merging_gym_tpu.core.vector import autoreset_step, reset_batch
+from merging_gym_tpu.nn.rainbow_net import (
+    NUM_ATOMS, rainbow_apply, rainbow_init, rainbow_q_values,
+    rainbow_sample_noise, support)
+from merging_gym_tpu.ops import per as per_ops
+from merging_gym_tpu.ops import replay as rp
+from merging_gym_tpu.ops.projection import categorical_projection
+
+
+@struct.dataclass
+class RainbowConfig:
+    batch_size: int = struct.field(pytree_node=False, default=32)
+    lr: float = struct.field(pytree_node=False, default=1e-3)
+    gamma: float = struct.field(pytree_node=False, default=0.99)
+    memory_capacity: int = struct.field(pytree_node=False, default=10000)
+    target_sync_episodes: int = struct.field(pytree_node=False, default=20)
+    num_atoms: int = struct.field(pytree_node=False, default=NUM_ATOMS)
+    obs_dim: int = struct.field(pytree_node=False, default=C.OBS_DIM)
+    num_actions: int = struct.field(pytree_node=False, default=C.NUM_ACTIONS)
+    opponent_roll: int = struct.field(pytree_node=False, default=5)
+    faithful_c51: bool = struct.field(pytree_node=False, default=True)
+    per: bool = struct.field(pytree_node=False, default=False)
+    per_alpha: float = struct.field(pytree_node=False, default=0.6)
+    per_beta: float = struct.field(pytree_node=False, default=0.4)
+    n_step: int = struct.field(pytree_node=False, default=1)
+
+
+@struct.dataclass
+class RainbowCarry:
+    env_state: Any
+    obs: jax.Array
+    ep_reward: jax.Array
+    params: Any
+    target_params: Any
+    opt_state: Any
+    noise: Any
+    target_noise: Any
+    replay: Any               # rp.ReplayState or per_ops.PERState
+    nstep_hist: Any           # {obs, action, reward, done}: f[n, envs, ...]
+    nstep_len: jax.Array      # i32[envs] valid history length since reset
+    sync_chunks: jax.Array    # i32 completed-episode // 20 chunks synced
+    last_loss: jax.Array
+    key: jax.Array
+    metrics: D.Metrics
+
+
+def _make_opt(cfg):
+    return optax.adam(cfg.lr)
+
+
+def rainbow_train_init(key, cfg: RainbowConfig, env_params: EnvParams,
+                       num_envs: int) -> RainbowCarry:
+    k_env, k_net, k_n1, k_n2, k_run = jax.random.split(key, 5)
+    env_state = reset_batch(env_params, k_env, num_envs)
+    obs = jax.vmap(core_env.observe)(env_state)
+    params = rainbow_init(k_net, cfg.obs_dim, cfg.num_actions, cfg.num_atoms)
+    target_params = params  # update_target at init (ranbowdqn.py:648)
+    example = D.transition_example(
+        D.DQNConfig(obs_dim=cfg.obs_dim, num_actions=cfg.num_actions))
+    if cfg.per:
+        replay = per_ops.per_init(cfg.memory_capacity, example, cfg.per_alpha)
+    else:
+        replay = rp.replay_init(cfg.memory_capacity, example)
+    n = cfg.n_step
+    nstep_hist = {
+        "obs": jnp.zeros((n, num_envs, cfg.obs_dim), jnp.float32),
+        "action": jnp.zeros((n, num_envs), jnp.int32),
+        "reward": jnp.zeros((n, num_envs), jnp.float32),
+    }
+    return RainbowCarry(
+        env_state=env_state, obs=obs,
+        ep_reward=jnp.zeros((num_envs,), jnp.float32),
+        params=params, target_params=target_params,
+        opt_state=_make_opt(cfg).init(params),
+        noise=rainbow_sample_noise(k_n1, cfg.num_actions, cfg.num_atoms),
+        target_noise=rainbow_sample_noise(k_n2, cfg.num_actions, cfg.num_atoms),
+        replay=replay,
+        nstep_hist=nstep_hist,
+        nstep_len=jnp.zeros((num_envs,), jnp.int32),
+        sync_chunks=jnp.zeros((), jnp.int32),
+        last_loss=jnp.zeros((), jnp.float32),
+        key=k_run, metrics=D.Metrics.zero(),
+    )
+
+
+def _act(params, noise, obs, cfg: RainbowConfig):
+    dist = rainbow_apply(params, obs, noise, cfg.num_actions, cfg.num_atoms)
+    return jnp.argmax(rainbow_q_values(dist), axis=-1).astype(jnp.int32)
+
+
+def rainbow_loss(params, target_params, noise, target_noise, batch, weights,
+                 cfg: RainbowConfig):
+    sup = support()
+    # Target distribution for the double-free greedy next action
+    # (ranbowdqn.py:554-563: selection and evaluation both via target net).
+    next_dist = rainbow_apply(target_params, batch["next_obs"], target_noise,
+                              cfg.num_actions, cfg.num_atoms)
+    next_q = rainbow_q_values(next_dist, sup)
+    a_star = jnp.argmax(next_q, axis=-1)
+    next_probs = jnp.take_along_axis(
+        next_dist, a_star[:, None, None], axis=-2)[:, 0, :]
+    gamma_n = cfg.gamma ** cfg.n_step
+    proj = categorical_projection(next_probs, batch["reward"], batch["done"],
+                                  sup, gamma_n, cfg.faithful_c51)
+    proj = jax.lax.stop_gradient(proj)
+
+    dist = rainbow_apply(params, batch["obs"], noise,
+                         cfg.num_actions, cfg.num_atoms)
+    dist = jnp.take_along_axis(dist, batch["action"][:, None, None],
+                               axis=-2)[:, 0, :]
+    dist = jnp.clip(dist, 0.01, 0.99)  # ranbowdqn.py:598
+    ce = -jnp.sum(proj * jnp.log(dist), axis=-1)
+    loss = jnp.mean(ce * weights)
+    return loss, ce
+
+
+def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
+                       carry: RainbowCarry, _):
+    key, k_reset, k_sample, k_n1, k_n2 = jax.random.split(carry.key, 5)
+    obs = carry.obs
+    num_envs = obs.shape[0]
+
+    # Self-play: one net, both seats (ranbowdqn.py:668-669).
+    a1 = _act(carry.params, carry.noise, obs, cfg)
+    a2 = _act(carry.params, carry.noise,
+              jnp.roll(obs, cfg.opponent_roll, axis=-1), cfg)
+    actions = jnp.stack([a1, a2], axis=-1)
+    env_state, ts = autoreset_step(env_params, carry.env_state, actions, k_reset)
+    next_obs_env = jax.vmap(core_env.observe)(env_state)
+
+    # --- n-step window maintenance ----------------------------------------
+    n = cfg.n_step
+    hist = carry.nstep_hist
+    # Discounted rewards-so-far for the open windows, then push this step.
+    hist_reward = hist["reward"] * 1.0
+    if n > 1:
+        steps_open = jnp.minimum(carry.nstep_len, n)
+        age = steps_open[None, :] - jnp.arange(n)[:, None]  # steps each slot has waited
+        gamma_pow = jnp.where(age > 0, cfg.gamma ** age.astype(jnp.float32), 0.0)
+        hist_reward = hist_reward + gamma_pow * ts.rewards[None, :, 0]
+    hist = {
+        "obs": jnp.roll(hist["obs"], -1, axis=0).at[-1].set(obs.astype(jnp.float32)),
+        "action": jnp.roll(hist["action"], -1, axis=0).at[-1].set(a1),
+        "reward": jnp.roll(hist_reward, -1, axis=0).at[-1].set(
+            ts.rewards[:, 0].astype(jnp.float32)),
+    }
+    new_len = jnp.minimum(carry.nstep_len + 1, n)
+
+    if n == 1:
+        items = {
+            "obs": obs.astype(jnp.float32),
+            "action": a1,
+            "reward": ts.rewards[:, 0].astype(jnp.float32),
+            "next_obs": ts.obs.astype(jnp.float32),
+            "done": ts.done,
+        }
+        store_mask = jnp.ones((num_envs,), bool)
+    else:
+        # Mature transition: window head, emitted once n steps accumulated
+        # or the episode ended (flush on done).
+        mature = new_len >= n
+        items = {
+            "obs": hist["obs"][0],
+            "action": hist["action"][0],
+            "reward": hist["reward"][0],
+            "next_obs": ts.obs.astype(jnp.float32),
+            "done": ts.done,
+        }
+        store_mask = mature | ts.done
+        # NOTE: on done, windows shorter than n flush with their partial
+        # return; the head entry is the oldest valid one.
+        new_len = jnp.where(ts.done, 0, new_len)
+
+    if cfg.per:
+        replay = per_ops.per_add_batch(carry.replay, items, store_mask)
+        fill_ok = replay.base.cursor > cfg.batch_size
+    else:
+        replay = rp.add_batch(carry.replay, items, store_mask)
+        fill_ok = replay.cursor > cfg.batch_size
+
+    # --- learner ----------------------------------------------------------
+    def do_learn(op):
+        params, opt_state, replay = op
+        if cfg.per:
+            batch, idx, weights = per_ops.per_sample(
+                replay, k_sample, cfg.batch_size, cfg.per_beta)
+        else:
+            batch, idx = rp.sample_valid(replay, k_sample, cfg.batch_size)
+            weights = jnp.ones((cfg.batch_size,), jnp.float32)
+        (loss, ce), grads = jax.value_and_grad(rainbow_loss, has_aux=True)(
+            params, carry.target_params, carry.noise, carry.target_noise,
+            batch, weights, cfg)
+        updates, opt_state = _make_opt(cfg).update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if cfg.per:
+            replay = per_ops.per_update_priorities(replay, idx, ce + 1e-5)
+        return params, opt_state, replay, loss.astype(jnp.float32)
+
+    params, opt_state, replay, loss = jax.lax.cond(
+        fill_ok, do_learn,
+        lambda op: (op[0], op[1], op[2], carry.last_loss),
+        (carry.params, carry.opt_state, replay))
+
+    # Noise resampled every learner invocation (ranbowdqn.py:606-607).
+    noise = rainbow_sample_noise(k_n1, cfg.num_actions, cfg.num_atoms)
+    target_noise = rainbow_sample_noise(k_n2, cfg.num_actions, cfg.num_atoms)
+
+    # --- metrics + episodic target sync ------------------------------------
+    ep_reward = carry.ep_reward + ts.rewards[:, 0]
+    m = carry.metrics
+    done_i = ts.done.astype(m.episodes.dtype)
+    won = ts.done & (ts.obs[:, 8] > ts.obs[:, 3])
+    episodes = m.episodes + jnp.sum(done_i)
+    metrics = D.Metrics(
+        env_steps=m.env_steps + num_envs,
+        episodes=episodes,
+        collisions=m.collisions + jnp.sum(ts.collision.astype(done_i.dtype)),
+        wins=m.wins + jnp.sum(won.astype(done_i.dtype)),
+        sum_ep_reward=m.sum_ep_reward + jnp.sum(jnp.where(ts.done, ep_reward, 0.0)),
+    )
+    ep_reward = jnp.where(ts.done, 0.0, ep_reward)
+
+    chunks = (episodes // cfg.target_sync_episodes).astype(jnp.int32)
+    sync = chunks > carry.sync_chunks
+    target_params = jax.tree.map(
+        lambda p, t: jnp.where(sync, p, t), params, carry.target_params)
+
+    out = RainbowCarry(
+        env_state=env_state, obs=next_obs_env, ep_reward=ep_reward,
+        params=params, target_params=target_params, opt_state=opt_state,
+        noise=noise, target_noise=target_noise, replay=replay,
+        nstep_hist=hist, nstep_len=new_len,
+        sync_chunks=chunks, last_loss=loss, key=key, metrics=metrics,
+    )
+    return out, None
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def rainbow_train_chunk(cfg: RainbowConfig, env_params: EnvParams,
+                        carry: RainbowCarry, num_steps: int) -> RainbowCarry:
+    carry, _ = jax.lax.scan(partial(rainbow_train_step, cfg, env_params),
+                            carry, None, length=num_steps)
+    return carry

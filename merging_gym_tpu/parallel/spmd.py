@@ -1,0 +1,256 @@
+"""SPMD distributed DQN training: explicit shard_map + XLA collectives.
+
+The TPU-native answer to "the reference has no distributed backend"
+(SURVEY.md sections 2.6, 5): one program, every device running it on its
+shard of the work, communicating over ICI with explicit collectives --
+no parameter server, no NCCL analog, no host in the loop.
+
+Layout on a ``(data, model)`` mesh:
+
+* **data parallelism** -- env batch, replay ring and learner batch are
+  sharded on ``data``; every device steps its own envs, stores into its
+  *local* ring, samples its local sub-batch, and gradients are combined
+  with ``psum`` over ``data`` before an identical Adam update, keeping
+  params bitwise-replicated.
+* **tensor parallelism** -- the Q-net's hidden layers are sharded on
+  ``model``: fc0 column-parallel, fc1 row-parallel with one
+  ``psum("model")`` on its output partial sums (Megatron-style, sized to
+  ride ICI), fc2 replicated.  Overkill for a 200-unit MLP but the real
+  mechanism, so the same code scales to wide nets.
+* pipeline / sequence / expert parallelism are structurally n/a for a
+  3-layer MLP on 10-float observations (SURVEY.md section 5, long-context
+  row); the env batch axis *is* this workload's sequence axis.
+
+Epsilon-greedy exploration and env auto-reset randomness derive from the
+shared key folded with the device's ``data`` coordinate, so a run on an
+``(n, 1)`` mesh is reproducible for fixed n.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from merging_gym_tpu.agents import dqn as D
+from merging_gym_tpu.agents.policies import eps_greedy_from_q
+from merging_gym_tpu.core import constants as C
+from merging_gym_tpu.core import env as core_env
+from merging_gym_tpu.core.env import EnvParams, swap_obs
+from merging_gym_tpu.core.vector import autoreset_step, reset_batch
+from merging_gym_tpu.ops import replay as rp
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel Q-net
+# ---------------------------------------------------------------------------
+
+def qnet_pspecs(params) -> Any:
+    """PartitionSpecs for the 3-layer Q-net: fc0 column-, fc1 row-parallel."""
+    specs = {}
+    n = len(params)
+    for i in range(n):
+        if i == 0:
+            specs[f"fc{i}"] = {"w": P(None, "model"), "b": P("model")}
+        elif i == 1:
+            specs[f"fc{i}"] = {"w": P("model", None), "b": P(None)}
+        else:
+            specs[f"fc{i}"] = {"w": P(None, None), "b": P(None)}
+    return specs
+
+
+def qnet_apply_tp(params, x):
+    """Q-net forward inside shard_map: fc1's contraction runs on local
+    shards and one psum over ``model`` completes the matmul."""
+    h = jnp.dot(x, params["fc0"]["w"], preferred_element_type=jnp.float32)
+    h = jax.nn.relu(h.astype(x.dtype) + params["fc0"]["b"])
+    partial_h = jnp.dot(h, params["fc1"]["w"], preferred_element_type=jnp.float32)
+    h = jax.lax.psum(partial_h.astype(x.dtype), "model") + params["fc1"]["b"]
+    h = jax.nn.relu(h)
+    out = jnp.dot(h, params["fc2"]["w"], preferred_element_type=jnp.float32)
+    return out.astype(x.dtype) + params["fc2"]["b"]
+
+
+# ---------------------------------------------------------------------------
+# Per-device training step (runs inside shard_map)
+# ---------------------------------------------------------------------------
+
+def _td_loss_tp(params, target_params, batch, cfg: D.DQNConfig):
+    q_eval = qnet_apply_tp(params, batch["obs"])
+    q_sel = jnp.take_along_axis(q_eval, batch["action"][:, None], axis=-1)[:, 0]
+    q_next_t = qnet_apply_tp(target_params, batch["next_obs"])
+    q_next_e = qnet_apply_tp(jax.lax.stop_gradient(params), batch["next_obs"])
+    a_star = jnp.argmax(q_next_e, axis=-1)
+    bootstrap = jnp.take_along_axis(q_next_t, a_star[:, None], axis=-1)[:, 0]
+    if cfg.mask_terminal:
+        bootstrap = bootstrap * (1.0 - batch["done"].astype(bootstrap.dtype))
+    target = batch["reward"] + cfg.gamma * bootstrap
+    # Mean over the *global* batch: local mean then psum-mean over data.
+    local = jnp.mean((q_sel - jax.lax.stop_gradient(target)) ** 2)
+    return jax.lax.pmean(local, "data")
+
+
+def _device_train_step(cfg: D.DQNConfig, env_params: EnvParams,
+                       carry: D.TrainCarry, _):
+    """One actor+replay+learner step on this device's shard."""
+    key, k_act, k_reset, k_sample = jax.random.split(carry.key, 4)
+    obs, n = carry.obs, carry.obs.shape[0]
+
+    k1, k2 = jax.random.split(k_act)
+    q1 = qnet_apply_tp(carry.dqn.params, obs)
+    a1 = jax.vmap(eps_greedy_from_q, in_axes=(0, 0, None, None))(
+        q1, jax.random.split(k1, n), cfg.epsilon, cfg.num_actions)
+    if cfg.opponent == D.OPP_L0:
+        a2 = jnp.full((n,), C.ACTION_NONE, jnp.int32)
+    else:
+        opp = carry.dqn.params if cfg.opponent == D.OPP_SELFPLAY else carry.opp_params
+        q2 = qnet_apply_tp(opp, swap_obs(obs))
+        a2 = jax.vmap(eps_greedy_from_q, in_axes=(0, 0, None, None))(
+            q2, jax.random.split(k2, n), cfg.epsilon, cfg.num_actions)
+    actions = jnp.stack([a1, a2], axis=-1)
+
+    env_state, ts = autoreset_step(env_params, carry.env_state, actions, k_reset)
+    next_obs = jax.vmap(core_env.observe)(env_state)
+
+    store_mask = ts.winner != 1
+    items = {
+        "obs": obs.astype(jnp.float32),
+        "action": actions[:, 0],
+        "reward": ts.rewards[:, 0].astype(jnp.float32),
+        "next_obs": ts.obs.astype(jnp.float32),
+        "done": ts.done,
+    }
+    replay = rp.add_batch(carry.replay, items, store_mask)
+
+    def do_learn(dqn):
+        batch, _ = rp.sample(replay, k_sample, cfg.batch_size)
+        sync = dqn.learn_counter % cfg.target_sync == 0
+        target_params = jax.tree.map(
+            lambda e, t: jnp.where(sync, e, t), dqn.params, dqn.target_params)
+        loss, grads = jax.value_and_grad(_td_loss_tp)(
+            dqn.params, target_params, batch, cfg)
+        # DP gradient combine; params stay replicated across `data`.
+        grads = jax.lax.pmean(grads, "data")
+        updates, opt_state = D.make_optimizer(cfg).update(
+            grads, dqn.opt_state, dqn.params)
+        params = optax.apply_updates(dqn.params, updates)
+        return D.DQNState(params=params, target_params=target_params,
+                          opt_state=opt_state,
+                          learn_counter=dqn.learn_counter + 1,
+                          last_loss=loss.astype(jnp.float32))
+
+    # All devices agree on the gate: cursors may differ per device (masked
+    # stores), so take the global minimum fill.
+    fill = jax.lax.pmin(replay.cursor, "data")
+    can = fill >= cfg.memory_capacity
+    dqn = jax.lax.cond(can, do_learn, lambda d: d, carry.dqn)
+
+    ep_reward = carry.ep_reward + jnp.where(store_mask, ts.rewards[:, 0], 0.0)
+    m = carry.metrics
+    done_i = ts.done.astype(m.episodes.dtype)
+    won = ts.done & (ts.obs[:, 8] > ts.obs[:, 3])
+    metrics = D.Metrics(
+        env_steps=m.env_steps + n,
+        episodes=m.episodes + jnp.sum(done_i),
+        collisions=m.collisions + jnp.sum(ts.collision.astype(done_i.dtype)),
+        wins=m.wins + jnp.sum(won.astype(done_i.dtype)),
+        sum_ep_reward=m.sum_ep_reward + jnp.sum(jnp.where(ts.done, ep_reward, 0.0)),
+    )
+    ep_reward = jnp.where(ts.done, 0.0, ep_reward)
+
+    out = D.TrainCarry(env_state=env_state, obs=next_obs, ep_reward=ep_reward,
+                       dqn=dqn, opp_params=carry.opp_params, replay=replay,
+                       key=key, metrics=metrics)
+    return out, None
+
+
+# ---------------------------------------------------------------------------
+# Mesh-level entry points
+# ---------------------------------------------------------------------------
+
+def carry_pspecs(cfg: D.DQNConfig, carry: D.TrainCarry):
+    """PartitionSpecs for the train carry on a (data, model) mesh."""
+    # opt_state mirrors param structure: shard its moment buffers like
+    # params, keep step counters replicated.
+    mu_specs = qnet_pspecs(carry.dqn.params)
+    opt_specs = []
+    for part in carry.dqn.opt_state:
+        if hasattr(part, "mu"):
+            opt_specs.append(part._replace(count=P(), mu=mu_specs, nu=mu_specs))
+        else:
+            opt_specs.append(jax.tree.map(lambda _: P(), part))
+    dqn_specs = D.DQNState(
+        params=qnet_pspecs(carry.dqn.params),
+        target_params=qnet_pspecs(carry.dqn.target_params),
+        opt_state=tuple(opt_specs),
+        learn_counter=P(), last_loss=P(),
+    )
+
+    batched = P("data")
+    return D.TrainCarry(
+        env_state=jax.tree.map(lambda _: batched, carry.env_state),
+        obs=batched,
+        ep_reward=batched,
+        dqn=dqn_specs,
+        opp_params=qnet_pspecs(carry.opp_params),
+        replay=rp.ReplayState(
+            data=jax.tree.map(lambda _: batched, carry.replay.data),
+            cursor=P(),
+        ),
+        key=P(),
+        metrics=jax.tree.map(lambda _: P(), carry.metrics),
+    )
+
+
+def spmd_train_init(key, cfg: D.DQNConfig, env_params: EnvParams,
+                    num_envs: int, mesh: Mesh, opp_params=None) -> D.TrainCarry:
+    """Build a carry whose batched leaves are sharded over ``data`` and
+    whose params are sharded over ``model``.
+
+    ``cfg.memory_capacity`` here is the *per-device* ring size.  The key
+    stored in the carry is shared; shard_map folds in the device index.
+    """
+    dp = mesh.shape["data"]
+    assert num_envs % dp == 0, (num_envs, dp)
+    carry = D.train_init(key, cfg, env_params, num_envs, opp_params)
+    # Scale the replay to per-device capacity x dp so specs divide evenly.
+    replay = rp.replay_init(cfg.memory_capacity * dp, D.transition_example(cfg))
+    carry = carry.replace(replay=replay)
+    specs = carry_pspecs(cfg, carry)
+    shardings = jax.tree.map(
+        lambda s: jax.sharding.NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(carry, shardings)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _spmd_chunk(cfg, env_params, carry, num_steps, mesh):
+    specs = carry_pspecs(cfg, carry)
+
+    def per_device(carry):
+        # Decorrelate per-device randomness; keep the shared key evolving
+        # deterministically so every device returns the same one.
+        shared_key = carry.key
+        idx = jax.lax.axis_index("data")
+        carry = carry.replace(key=jax.random.fold_in(shared_key, idx))
+        carry, _ = jax.lax.scan(
+            partial(_device_train_step, cfg, env_params), carry,
+            None, length=num_steps)
+        return carry.replace(
+            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)),
+            metrics=jax.tree.map(lambda x: jax.lax.psum(x, "data"), carry.metrics),
+        )
+
+    out_specs = carry_pspecs(cfg, carry)
+    return jax.shard_map(per_device, mesh=mesh, in_specs=(specs,),
+                         out_specs=out_specs, check_vma=False)(carry)
+
+
+def spmd_train_chunk(mesh: Mesh, cfg: D.DQNConfig, env_params: EnvParams,
+                     carry: D.TrainCarry, num_steps: int) -> D.TrainCarry:
+    """Run ``num_steps`` SPMD actor+learner steps across the mesh."""
+    return _spmd_chunk(cfg, env_params, carry, num_steps, mesh)
