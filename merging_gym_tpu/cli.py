@@ -1,0 +1,221 @@
+"""Command-line entry point.
+
+The reference has no flag system: hyper-parameters are module constants
+and behaviour switches are edit-the-source literals (``Strategy_OP``,
+main.py:161; ``OP_MODEL``, human_player.py:45 -- SURVEY.md section 5).
+This CLI surfaces all of them:
+
+  python -m merging_gym_tpu.cli train   --algo dqn|hdqn|rainbow ...
+  python -m merging_gym_tpu.cli levelk  --levels 3 ...   (level-k curriculum)
+  python -m merging_gym_tpu.cli play    --op-model dqn|hdqn|rainbow|pvp|l0 ...
+  python -m merging_gym_tpu.cli bench   ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def _add_env_args(p):
+    p.add_argument("--r-first", type=float, default=2.0)
+    p.add_argument("--r-second", type=float, default=1.0)
+    p.add_argument("--r-collision", type=float, default=-10.0)
+    p.add_argument("--vel-penalty", type=float, default=0.001)
+    p.add_argument("--time-penalty", type=float, default=0.0)
+    p.add_argument("--random-start", action="store_true",
+                   help="randomised start states (merging_env.py:219-221)")
+
+
+def _env_params(args):
+    from merging_gym_tpu.core.env import EnvParams
+    return EnvParams(r_first=args.r_first, r_second=args.r_second,
+                     r_collision=args.r_collision,
+                     vel_penalty=args.vel_penalty,
+                     time_penalty=args.time_penalty,
+                     random_start=args.random_start)
+
+
+def _train_args(p):
+    _add_env_args(p)
+    p.add_argument("--algo", choices=["dqn", "hdqn", "rainbow"], default="dqn")
+    p.add_argument("--opponent", default="L0",
+                   help='"L0", "selfplay", or a checkpoint dir/npz (frozen)')
+    p.add_argument("--num-envs", type=int, default=1024)
+    p.add_argument("--episodes", type=int, default=2000,
+                   help="stop once this many episodes completed (main.py:170)")
+    p.add_argument("--max-chunks", type=int, default=10000)
+    p.add_argument("--chunk-steps", type=int, default=200)
+    p.add_argument("--memory-capacity", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None, help="run directory (default: reference-style name)")
+    p.add_argument("--per", action="store_true", help="prioritised replay (rainbow)")
+    p.add_argument("--n-step", type=int, default=1, help="n-step returns (rainbow)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="orbax full-state checkpoint every N chunks (0 = end only)")
+
+
+def _load_frozen_qnet(path):
+    import jax.numpy as jnp
+    from merging_gym_tpu.io import torch_import as ti
+    from merging_gym_tpu.io.checkpoint import load_params_npz
+    from merging_gym_tpu.nn.mlp import qnet_init
+    import jax
+
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "eval.pth")):
+        params, _ = ti.load_reference_dqn(path)
+        return params
+    if path.endswith(".npz"):
+        like = qnet_init(jax.random.key(0), 10, 5)
+        return load_params_npz(path, like)
+    raise SystemExit(f"cannot load frozen opponent from {path}")
+
+
+def cmd_train(args):
+    import jax
+    from merging_gym_tpu.agents import dqn as D
+    from merging_gym_tpu.io.checkpoint import (CheckpointManager, run_dir_name,
+                                               save_params_npz)
+    from merging_gym_tpu.io.metrics import MetricsWriter, rates_from_counters
+
+    env_params = _env_params(args)
+    out = args.out or run_dir_name(f" {args.algo}", args.opponent,
+                                   env_params.reward_tuple())
+    os.makedirs(out, exist_ok=True)
+    writer = MetricsWriter(out)
+    ckpt = CheckpointManager(os.path.join(out, "ckpt")) if args.checkpoint_every else None
+    key = jax.random.key(args.seed)
+
+    if args.algo == "dqn":
+        mode = (D.OPP_L0 if args.opponent == "L0"
+                else D.OPP_SELFPLAY if args.opponent == "selfplay"
+                else D.OPP_FROZEN)
+        cfg = D.DQNConfig(
+            opponent=mode,
+            memory_capacity=args.memory_capacity or max(2000, 2 * args.num_envs),
+            batch_size=args.batch_size or 128,
+            lr=args.lr or 0.01)
+        opp = _load_frozen_qnet(args.opponent) if mode == D.OPP_FROZEN else None
+        carry = D.train_init(key, cfg, env_params, args.num_envs, opp)
+        step_fn = lambda c: D.train_chunk(cfg, env_params, c, args.chunk_steps)
+        get_params = lambda c: c.dqn.params
+        extra = lambda c: {"loss": float(c.dqn.last_loss),
+                           "learns": int(c.dqn.learn_counter)}
+    elif args.algo == "hdqn":
+        from merging_gym_tpu.agents import hdqn as H
+        mode = (D.OPP_L0 if args.opponent == "L0"
+                else D.OPP_SELFPLAY if args.opponent == "selfplay"
+                else D.OPP_FROZEN)
+        cfg = H.HDQNConfig(
+            opponent=mode,
+            memory_capacity=args.memory_capacity or max(2000, 2 * args.num_envs),
+            batch_size=args.batch_size or 128, lr=args.lr or 0.01)
+        opp_u = opp_l = None
+        if mode == D.OPP_FROZEN:
+            from merging_gym_tpu.io import torch_import as ti
+            nets = ti.load_reference_hdqn(args.opponent)
+            opp_u, opp_l = nets["meta_eval"], nets["lower_eval"]
+        carry = H.hdqn_init(key, cfg, env_params, args.num_envs, opp_u, opp_l)
+        step_fn = lambda c: H.hdqn_train_chunk(cfg, env_params, c, args.chunk_steps)
+        get_params = lambda c: {"lower": c.lower.params, "upper": c.upper.params}
+        extra = lambda c: {"loss": float(c.lower.last_loss),
+                           "meta_loss": float(c.upper.last_loss)}
+    else:
+        from merging_gym_tpu.agents import rainbow as R
+        cfg = R.RainbowConfig(
+            memory_capacity=args.memory_capacity or 10000,
+            batch_size=args.batch_size or 32, lr=args.lr or 1e-3,
+            per=args.per, n_step=args.n_step)
+        carry = R.rainbow_train_init(key, cfg, env_params, args.num_envs)
+        step_fn = lambda c: R.rainbow_train_chunk(cfg, env_params, c, args.chunk_steps)
+        get_params = lambda c: c.params
+        extra = lambda c: {"loss": float(c.last_loss)}
+
+    t0 = time.time()
+    for chunk in range(args.max_chunks):
+        carry = step_fn(carry)
+        jax.block_until_ready(carry.metrics.episodes)
+        scalars = rates_from_counters(carry.metrics)
+        scalars.update(extra(carry))
+        scalars["env_steps_per_sec"] = scalars["env_steps"] / (time.time() - t0)
+        writer.log(chunk, scalars)
+        print(f"chunk {chunk}: {json.dumps(scalars)}", flush=True)
+        if ckpt and (chunk + 1) % args.checkpoint_every == 0:
+            ckpt.save(chunk, carry)
+        if scalars["episodes"] >= args.episodes:
+            break
+
+    save_params_npz(os.path.join(out, "params.npz"), get_params(carry))
+    try:
+        from merging_gym_tpu.io.analysis import plot_training_curves
+        plot_training_curves(out)
+    except Exception as e:  # matplotlib optional on minimal hosts
+        print(f"curve plot skipped: {e}")
+    if ckpt:
+        ckpt.save(args.max_chunks, carry, wait=True)
+        ckpt.close()
+    writer.close()
+    print(f"run saved to {out}")
+    return out
+
+
+def cmd_levelk(args):
+    """Level-k curriculum (main.py:161-168 done properly): L1 trains vs
+    L0, L2 vs frozen L1, ... each level saved to its own run dir."""
+    prev = "L0"
+    for level in range(1, args.levels + 1):
+        sub = argparse.Namespace(**vars(args))
+        sub.opponent = prev if level == 1 else os.path.join(prev, "params.npz")
+        sub.out = os.path.join(args.out or "levelk_runs", f"L{level}")
+        print(f"=== training L{level} vs {sub.opponent} ===")
+        prev = cmd_train(sub)
+
+
+def cmd_play(args):
+    from merging_gym_tpu.ui.human import load_opponent, run_session
+
+    opponent = load_opponent(args.op_model, args.load_path)
+    result = run_session(opponent, episodes=args.episodes,
+                         log_root=args.log_root)
+    print(json.dumps(result))
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="merging_gym_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train", help="train one agent")
+    _train_args(pt)
+    pt.set_defaults(fn=cmd_train)
+
+    pl = sub.add_parser("levelk", help="level-k opponent curriculum")
+    _train_args(pl)
+    pl.add_argument("--levels", type=int, default=2)
+    pl.set_defaults(fn=cmd_levelk)
+
+    pp = sub.add_parser("play", help="human experiment session")
+    pp.add_argument("--op-model", default="l0",
+                    choices=["l0", "dqn", "hdqn", "rainbow", "pvp"])
+    pp.add_argument("--load-path", default=None)
+    pp.add_argument("--episodes", type=int, default=5)
+    pp.add_argument("--log-root", default="log")
+    pp.set_defaults(fn=cmd_play)
+
+    pb = sub.add_parser("bench", help="run the headline benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
