@@ -28,7 +28,7 @@ def _report(name, value, unit, **extra):
                       "unit": unit, **extra}), flush=True)
 
 
-def bench_rollout(num_envs, steps, chunks):
+def bench_rollout(num_envs, steps, chunks, collect="full"):
     from merging_gym_tpu.core import constants as C
     from merging_gym_tpu.core.env import EnvParams
     from merging_gym_tpu.core.vector import reset_batch, rollout
@@ -39,15 +39,19 @@ def bench_rollout(num_envs, steps, chunks):
     def policy(ps, obs, key):
         return ps, jax.random.randint(key, (obs.shape[0], 2), -1, C.NUM_ACTIONS)
 
-    run = jax.jit(lambda s, k: rollout(params, s, policy, None, k, steps))
+    run = jax.jit(lambda s, k: rollout(params, s, policy, None, k, steps,
+                                       collect=collect))
     (state, _), traj = run(state, jax.random.key(1))
-    jax.block_until_ready(traj.rewards)
+    jax.block_until_ready(state.pos)
     t0 = time.perf_counter()
     for i in range(chunks):
         (state, _), traj = run(state, jax.random.key(2 + i))
-    jax.block_until_ready(traj.rewards)
+    jax.block_until_ready(state.pos)
+    if traj is not None:
+        jax.block_until_ready(traj)
     dt = time.perf_counter() - t0
-    _report(f"rollout-{num_envs}", num_envs * steps * chunks / dt, "env-steps/s")
+    _report(f"rollout-{num_envs}-{collect}", num_envs * steps * chunks / dt,
+            "env-steps/s")
 
 
 def bench_dqn(num_envs, steps, chunks):
@@ -148,6 +152,9 @@ def main():
 
     for n in ([1024] if q else [256, 1024, 4096, 16384]):
         bench_rollout(n, 256 if q else 1024, 2 if q else 4)
+    for collect in ("rewards", "none"):
+        bench_rollout(1024 if q else 4096, 256 if q else 1024,
+                      2 if q else 4, collect)
     bench_dqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     bench_hdqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     bench_rainbow(256 if q else 1024, 100 if q else 200, 2 if q else 5)

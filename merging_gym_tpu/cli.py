@@ -40,7 +40,8 @@ def _env_params(args):
 
 def _train_args(p):
     _add_env_args(p)
-    p.add_argument("--algo", choices=["dqn", "hdqn", "rainbow"], default="dqn")
+    p.add_argument("--algo", choices=["dqn", "hdqn", "rainbow", "drqn"],
+                   default="dqn")
     p.add_argument("--opponent", default="L0",
                    help='"L0", "selfplay", or a checkpoint dir/npz (frozen)')
     p.add_argument("--num-envs", type=int, default=1024)
@@ -57,6 +58,9 @@ def _train_args(p):
     p.add_argument("--n-step", type=int, default=1, help="n-step returns (rainbow)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="orbax full-state checkpoint every N chunks (0 = end only)")
+    p.add_argument("--resume", default=None,
+                   help="run dir to resume from (restores the full orbax "
+                        "train state: params, optimizer, replay, envs, RNG)")
 
 
 def _load_frozen_qnet(path):
@@ -124,6 +128,16 @@ def cmd_train(args):
         get_params = lambda c: {"lower": c.lower.params, "upper": c.upper.params}
         extra = lambda c: {"loss": float(c.lower.last_loss),
                            "meta_loss": float(c.upper.last_loss)}
+    elif args.algo == "drqn":
+        from merging_gym_tpu.agents import drqn as DR
+        cfg = DR.DRQNConfig(
+            memory_capacity=args.memory_capacity or 512,
+            batch_size=args.batch_size or 32, lr=args.lr or 0.01)
+        carry = DR.drqn_train_init(key, cfg, env_params, args.num_envs)
+        step_fn = lambda c: DR.drqn_train_chunk(cfg, env_params, c, args.chunk_steps)
+        get_params = lambda c: c.params
+        extra = lambda c: {"loss": float(c.last_loss),
+                           "learns": int(c.learn_counter)}
     else:
         from merging_gym_tpu.agents import rainbow as R
         cfg = R.RainbowConfig(
@@ -134,6 +148,13 @@ def cmd_train(args):
         step_fn = lambda c: R.rainbow_train_chunk(cfg, env_params, c, args.chunk_steps)
         get_params = lambda c: c.params
         extra = lambda c: {"loss": float(c.last_loss)}
+
+    if args.resume:
+        from merging_gym_tpu.io.checkpoint import CheckpointManager as _CM
+        mgr = _CM(os.path.join(args.resume, "ckpt"))
+        carry = mgr.restore(carry)
+        mgr.close()
+        print(f"resumed from {args.resume} at step {int(carry.metrics.env_steps)}")
 
     t0 = time.time()
     for chunk in range(args.max_chunks):

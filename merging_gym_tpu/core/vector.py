@@ -50,12 +50,18 @@ def autoreset_step(params: EnvParams, state: EnvState, actions: jax.Array,
 
 
 def rollout(params: EnvParams, state: EnvState, policy_fn, policy_state,
-            key: jax.Array, num_steps: int):
+            key: jax.Array, num_steps: int, collect: str = "full"):
     """``lax.scan`` rollout of ``num_steps`` lockstep env steps.
 
     ``policy_fn(policy_state, obs_batch, key) -> (policy_state, actions)``
     where ``actions`` is i32[num_envs, 2] (use ACTION_NONE for a null
-    player-2).  Returns the final carry and the stacked TimeSteps.
+    player-2).  Returns the final carry and the stacked per-step output.
+
+    ``collect`` controls what the scan materialises -- the rollout is
+    HBM-bandwidth-bound, so narrower collection is proportionally faster:
+      * ``"full"``    -- the whole TimeStep (obs, rewards, done, ...);
+      * ``"rewards"`` -- ``(rewards, done)`` only (evaluation);
+      * ``"none"``    -- nothing per-step (pure stepping / burn-in).
     """
     obs0 = jax.vmap(core_env.observe)(state)
 
@@ -65,7 +71,13 @@ def rollout(params: EnvParams, state: EnvState, policy_fn, policy_state,
         policy_state, actions = policy_fn(policy_state, obs, k_act)
         state, ts = autoreset_step(params, state, actions, k_reset)
         next_obs = jax.vmap(core_env.observe)(state)
-        return (state, policy_state, next_obs), ts
+        if collect == "full":
+            out = ts
+        elif collect == "rewards":
+            out = (ts.rewards, ts.done)
+        else:
+            out = None
+        return (state, policy_state, next_obs), out
 
     keys = jax.random.split(key, num_steps)
     (state, policy_state, _), traj = jax.lax.scan(body, (state, policy_state, obs0), keys)

@@ -1,0 +1,88 @@
+"""DRQN tests: LSTM cell vs torch, sequence loss masking, end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from merging_gym_tpu.agents import drqn as DR
+from merging_gym_tpu.core.env import EnvParams
+from merging_gym_tpu.nn.lstm import (drqn_init, drqn_step, drqn_unroll,
+                                     lstm_cell_apply, lstm_cell_init,
+                                     lstm_zero_carry)
+
+
+def test_lstm_cell_matches_torch():
+    torch = pytest.importorskip("torch")
+    p = lstm_cell_init(jax.random.key(0), 16, 16)
+    cell = torch.nn.LSTMCell(16, 16)
+    with torch.no_grad():
+        cell.weight_ih.copy_(torch.from_numpy(np.asarray(p["w_ih"]).T))
+        cell.weight_hh.copy_(torch.from_numpy(np.asarray(p["w_hh"]).T))
+        cell.bias_ih.copy_(torch.from_numpy(np.asarray(p["b_ih"])))
+        cell.bias_hh.copy_(torch.from_numpy(np.asarray(p["b_hh"])))
+    x = np.random.default_rng(0).standard_normal((3, 16)).astype(np.float32)
+    h0 = np.zeros((3, 16), np.float32)
+    with torch.no_grad():
+        ht, ct = cell(torch.from_numpy(x),
+                      (torch.from_numpy(h0), torch.from_numpy(h0)))
+    out, (hj, cj) = lstm_cell_apply(p, jnp.asarray(x),
+                                    (jnp.asarray(h0), jnp.asarray(h0)))
+    np.testing.assert_allclose(np.asarray(hj), ht.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cj), ct.numpy(), atol=1e-5)
+
+
+def test_unroll_consistency():
+    params = drqn_init(jax.random.key(1), 10, 5)
+    obs_seq = jax.random.normal(jax.random.key(2), (7, 3, 10), jnp.float32)
+    qs, carry = drqn_unroll(params, obs_seq, lstm_zero_carry((3,)))
+    assert qs.shape == (7, 3, 5)
+    # stepwise must equal scanned
+    c = lstm_zero_carry((3,))
+    for t in range(7):
+        q, c = drqn_step(params, obs_seq[t], c)
+        np.testing.assert_allclose(np.asarray(q), np.asarray(qs[t]),
+                                   rtol=1e-5, atol=1e-5)
+    # recurrence actually matters: permuting time changes the outputs
+    qs_perm, _ = drqn_unroll(params, obs_seq[::-1], lstm_zero_carry((3,)))
+    assert not np.allclose(np.asarray(qs_perm[-1]), np.asarray(qs[-1]))
+
+
+def test_loss_masks_post_done_steps():
+    cfg = DR.DRQNConfig(seq_len=8, burn_in=2, batch_size=4)
+    params = drqn_init(jax.random.key(3), 10, 5)
+    tparams = drqn_init(jax.random.key(4), 10, 5)
+    rng = np.random.default_rng(0)
+    batch = {
+        "obs": jnp.asarray(rng.normal(size=(4, 9, 10)), jnp.float32),
+        "action": jnp.asarray(rng.integers(0, 5, (4, 8)), jnp.int32),
+        "reward": jnp.asarray(rng.normal(size=(4, 8)), jnp.float32),
+        "done": jnp.zeros((4, 8), bool),
+    }
+    # Episode ends at t=3 in row 0: rewards after t=3 in row 0 must not
+    # affect the loss.
+    batch["done"] = batch["done"].at[0, 3].set(True)
+    base = DR.drqn_loss(params, tparams, batch, cfg)
+    poisoned = dict(batch)
+    poisoned["reward"] = batch["reward"].at[0, 5].set(1e6)
+    after = DR.drqn_loss(params, tparams, poisoned, cfg)
+    np.testing.assert_allclose(float(base), float(after), rtol=1e-6)
+    # ...but rewards before the end (and >= burn_in) do.
+    poisoned2 = dict(batch)
+    poisoned2["reward"] = batch["reward"].at[0, 2].set(1e3)
+    assert abs(float(DR.drqn_loss(params, tparams, poisoned2, cfg))
+               - float(base)) > 1.0
+
+
+def test_drqn_end_to_end():
+    cfg = DR.DRQNConfig(memory_capacity=64, batch_size=8, seq_len=8, burn_in=2)
+    env_params = EnvParams()
+    carry = DR.drqn_train_init(jax.random.key(5), cfg, env_params, 16)
+    carry = DR.drqn_train_chunk(cfg, env_params, carry, 80)
+    assert int(carry.metrics.env_steps) == 80 * 16
+    assert int(carry.replay.cursor) > 0       # windows emitted
+    assert int(carry.learn_counter) > 0
+    assert not bool(jnp.isnan(carry.last_loss))
+    # windows contain terminal transitions (episodes end within ~45 steps
+    # at constant speed vs L0? not guaranteed here, but dones recorded)
+    assert not bool(jnp.isnan(carry.lstm_h).any())

@@ -105,3 +105,28 @@ def test_random_start_distribution():
     assert pos[:, 1].min() >= 46 and pos[:, 1].max() <= 54
     assert vel[:, 1].min() >= 15 and vel[:, 1].max() <= 30
     assert abs(vel[:, 1].mean() - 22.5) < 0.3
+
+
+def test_rollout_collect_modes():
+    params = EnvParams()
+    n = 8
+
+    def policy(ps, obs, key):
+        return ps, jax.random.randint(key, (obs.shape[0], 2), 0, C.NUM_ACTIONS)
+
+    state = reset_batch(params, jax.random.key(9), n)
+    (_, _), full = jax.jit(
+        lambda s, k: rollout(params, s, policy, None, k, 20, collect="full")
+    )(state, jax.random.key(10))
+    (_, _), rew = jax.jit(
+        lambda s, k: rollout(params, s, policy, None, k, 20, collect="rewards")
+    )(state, jax.random.key(10))
+    (end_state, _), none = jax.jit(
+        lambda s, k: rollout(params, s, policy, None, k, 20, collect="none")
+    )(state, jax.random.key(10))
+    rewards, done = rew
+    np.testing.assert_allclose(np.asarray(rewards), np.asarray(full.rewards),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(done), np.asarray(full.done))
+    assert none is None
+    assert not bool(jnp.isnan(end_state.pos).any())
