@@ -1,0 +1,96 @@
+"""Head-to-head policy evaluation (league play).
+
+The reference evaluates policies implicitly -- win counters inside
+training loops (main.py:224-227) and humans playing checkpoints
+(human_player.py) -- with no standalone evaluator.  This module pits any
+two :class:`~merging_gym_tpu.agents.policies.Policy` objects against
+each other over thousands of vectorised envs and reports the episode
+outcome distribution: who crossed first, collisions, timeouts, returns.
+
+Works with learned params (ours or imported reference .pth), L0,
+random, or constant policies -- anything expressible in the policy
+protocol -- so level-k ladders can be scored round-robin.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from merging_gym_tpu.agents.policies import Policy, two_player
+from merging_gym_tpu.core import constants as C
+from merging_gym_tpu.core.env import EnvParams
+from merging_gym_tpu.core.vector import reset_batch, rollout
+
+
+def evaluate(policy1: Policy, policy2: Policy, env_params: EnvParams,
+             key: jax.Array, num_envs: int = 256, min_episodes: int = 512,
+             chunk_steps: int = 512, max_chunks: int = 64) -> dict:
+    """Play until at least ``min_episodes`` finished; return outcome stats.
+
+    Outcomes per finished episode:
+      * ``p1_first`` / ``p2_first`` -- who crossed the merge point first
+        (``winner`` at the done step);
+      * ``collisions`` -- episode ended in a collision (either way);
+      * ``timeouts`` -- episode hit the 2501-step cap with no winner.
+    """
+    policy_fn, pstate = two_player(policy1, policy2)
+    k_env, key = jax.random.split(key)
+    state = reset_batch(env_params, k_env, num_envs)
+
+    run = jax.jit(lambda s, ps, k: rollout(
+        env_params, s, policy_fn, ps, k, chunk_steps))
+
+    counts = {"episodes": 0, "p1_first": 0, "p2_first": 0,
+              "collisions": 0, "timeouts": 0}
+    ret_sums = np.zeros(2)
+    ep_r = np.zeros((num_envs, 2))
+
+    for i in range(max_chunks):
+        key, k = jax.random.split(key)
+        (state, pstate), traj = run(state, pstate, k)
+        done = np.asarray(traj.done)
+        rewards = np.asarray(traj.rewards)
+        winner = np.asarray(traj.winner)
+        collision = np.asarray(traj.collision)
+        for t in range(done.shape[0]):
+            ep_r += rewards[t]
+            d = done[t]
+            if d.any():
+                counts["episodes"] += int(d.sum())
+                counts["p1_first"] += int((d & (winner[t] == 1)).sum())
+                counts["p2_first"] += int((d & (winner[t] == 2)).sum())
+                counts["collisions"] += int((d & collision[t]).sum())
+                counts["timeouts"] += int((d & (winner[t] == 0) & ~collision[t]).sum())
+                ret_sums += ep_r[d].sum(axis=0)
+                ep_r[d] = 0.0
+        if counts["episodes"] >= min_episodes:
+            break
+
+    eps = max(counts["episodes"], 1)
+    return {
+        **counts,
+        "p1_first_rate": counts["p1_first"] / eps,
+        "p2_first_rate": counts["p2_first"] / eps,
+        "collision_rate": counts["collisions"] / eps,
+        "timeout_rate": counts["timeouts"] / eps,
+        "mean_return_p1": float(ret_sums[0]) / eps,
+        "mean_return_p2": float(ret_sums[1]) / eps,
+    }
+
+
+def round_robin(named_policies: dict, env_params: EnvParams, key: jax.Array,
+                **kwargs) -> dict:
+    """All ordered pairs of a policy dict -> results table keyed
+    ``"A vs B"``.  The level-k ladder evaluation the reference does by
+    hand."""
+    results = {}
+    for name1, p1 in named_policies.items():
+        for name2, p2 in named_policies.items():
+            if name1 == name2:
+                continue
+            key, k = jax.random.split(key)
+            results[f"{name1} vs {name2}"] = evaluate(
+                p1, p2, env_params, k, **kwargs)
+    return results

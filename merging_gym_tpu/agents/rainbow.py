@@ -67,6 +67,9 @@ class RainbowConfig:
     per_alpha: float = struct.field(pytree_node=False, default=0.6)
     per_beta: float = struct.field(pytree_node=False, default=0.4)
     n_step: int = struct.field(pytree_node=False, default=1)
+    # When set (by parallel.spmd.spmd_rainbow_chunk), gradients are
+    # pmean-combined over this mesh axis so params stay replicated.
+    pmean_axis: str | None = struct.field(pytree_node=False, default=None)
 
 
 @struct.dataclass
@@ -79,6 +82,7 @@ class RainbowCarry:
     opt_state: Any
     noise: Any
     target_noise: Any
+    noise_key: jax.Array    # shared stream: keeps noise replicated under SPMD
     replay: Any               # rp.ReplayState or per_ops.PERState
     nstep_hist: Any           # {obs, action, reward, done}: f[n, envs, ...]
     nstep_len: jax.Array      # i32[envs] valid history length since reset
@@ -94,7 +98,7 @@ def _make_opt(cfg):
 
 def rainbow_train_init(key, cfg: RainbowConfig, env_params: EnvParams,
                        num_envs: int) -> RainbowCarry:
-    k_env, k_net, k_n1, k_n2, k_run = jax.random.split(key, 5)
+    k_env, k_net, k_n1, k_n2, k_run, k_noise = jax.random.split(key, 6)
     env_state = reset_batch(env_params, k_env, num_envs)
     obs = jax.vmap(core_env.observe)(env_state)
     params = rainbow_init(k_net, cfg.obs_dim, cfg.num_actions, cfg.num_atoms)
@@ -119,6 +123,7 @@ def rainbow_train_init(key, cfg: RainbowConfig, env_params: EnvParams,
         noise=rainbow_sample_noise(k_n1, cfg.num_actions, cfg.num_atoms),
         target_noise=rainbow_sample_noise(k_n2, cfg.num_actions, cfg.num_atoms),
         replay=replay,
+        noise_key=k_noise,
         nstep_hist=nstep_hist,
         nstep_len=jnp.zeros((num_envs,), jnp.int32),
         sync_chunks=jnp.zeros((), jnp.int32),
@@ -160,7 +165,8 @@ def rainbow_loss(params, target_params, noise, target_noise, batch, weights,
 
 def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
                        carry: RainbowCarry, _):
-    key, k_reset, k_sample, k_n1, k_n2 = jax.random.split(carry.key, 5)
+    key, k_reset, k_sample = jax.random.split(carry.key, 3)
+    noise_key, k_n1, k_n2 = jax.random.split(carry.noise_key, 3)
     obs = carry.obs
     num_envs = obs.shape[0]
 
@@ -217,10 +223,16 @@ def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
 
     if cfg.per:
         replay = per_ops.per_add_batch(carry.replay, items, store_mask)
-        fill_ok = replay.base.cursor > cfg.batch_size
+        fill = replay.base.cursor
     else:
         replay = rp.add_batch(carry.replay, items, store_mask)
-        fill_ok = replay.cursor > cfg.batch_size
+        fill = replay.cursor
+    if cfg.pmean_axis is not None:
+        # Per-device ring fills can differ (n-step emit masks); the learn
+        # gate must be a global decision or devices diverge around the
+        # pmean collective.
+        fill = jax.lax.pmin(fill, cfg.pmean_axis)
+    fill_ok = fill > cfg.batch_size
 
     # --- learner ----------------------------------------------------------
     def do_learn(op):
@@ -234,6 +246,9 @@ def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
         (loss, ce), grads = jax.value_and_grad(rainbow_loss, has_aux=True)(
             params, carry.target_params, carry.noise, carry.target_noise,
             batch, weights, cfg)
+        if cfg.pmean_axis is not None:
+            grads = jax.lax.pmean(grads, cfg.pmean_axis)
+            loss = jax.lax.pmean(loss, cfg.pmean_axis)
         updates, opt_state = _make_opt(cfg).update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if cfg.per:
@@ -250,18 +265,24 @@ def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
     target_noise = rainbow_sample_noise(k_n2, cfg.num_actions, cfg.num_atoms)
 
     # --- metrics + episodic target sync ------------------------------------
+    # Under SPMD (pmean_axis set) the increments are psum'd so the
+    # counters are global and replicated -- which also makes the
+    # every-20-episodes target sync a globally consistent decision.
     ep_reward = carry.ep_reward + ts.rewards[:, 0]
     m = carry.metrics
     done_i = ts.done.astype(m.episodes.dtype)
     won = ts.done & (ts.obs[:, 8] > ts.obs[:, 3])
-    episodes = m.episodes + jnp.sum(done_i)
-    metrics = D.Metrics(
-        env_steps=m.env_steps + num_envs,
-        episodes=episodes,
-        collisions=m.collisions + jnp.sum(ts.collision.astype(done_i.dtype)),
-        wins=m.wins + jnp.sum(won.astype(done_i.dtype)),
-        sum_ep_reward=m.sum_ep_reward + jnp.sum(jnp.where(ts.done, ep_reward, 0.0)),
+    inc = D.Metrics(
+        env_steps=jnp.asarray(num_envs, m.env_steps.dtype),
+        episodes=jnp.sum(done_i),
+        collisions=jnp.sum(ts.collision.astype(done_i.dtype)),
+        wins=jnp.sum(won.astype(done_i.dtype)),
+        sum_ep_reward=jnp.sum(jnp.where(ts.done, ep_reward, 0.0)),
     )
+    if cfg.pmean_axis is not None:
+        inc = jax.tree.map(lambda x: jax.lax.psum(x, cfg.pmean_axis), inc)
+    metrics = jax.tree.map(jnp.add, m, inc)
+    episodes = metrics.episodes
     ep_reward = jnp.where(ts.done, 0.0, ep_reward)
 
     chunks = (episodes // cfg.target_sync_episodes).astype(jnp.int32)
@@ -273,7 +294,7 @@ def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
         env_state=env_state, obs=next_obs_env, ep_reward=ep_reward,
         params=params, target_params=target_params, opt_state=opt_state,
         noise=noise, target_noise=target_noise, replay=replay,
-        nstep_hist=hist, nstep_len=new_len,
+        noise_key=noise_key, nstep_hist=hist, nstep_len=new_len,
         sync_chunks=chunks, last_loss=loss, key=key, metrics=metrics,
     )
     return out, None

@@ -210,6 +210,33 @@ def cmd_bench(args):
     bench.main()
 
 
+def _policy_from_spec(spec: str):
+    from merging_gym_tpu.agents import policies as P
+    from merging_gym_tpu.nn.mlp import qnet_apply
+
+    if spec == "random":
+        return P.random_policy()
+    if spec == "l0":
+        return P.l0_policy()
+    if spec.startswith("const:"):
+        return P.constant_policy(int(spec.split(":", 1)[1]))
+    params = _load_frozen_qnet(spec)
+    # The reference always plays checkpoints through its Phi(0.7)-greedy
+    # actor (human_player.py:158 -> main.py:99-112); pure-greedy from the
+    # deterministic start collapses every env to one trajectory.
+    return P.q_policy(qnet_apply, params, greedy=False)
+
+
+def cmd_eval(args):
+    import jax
+    from merging_gym_tpu.agents.evaluate import evaluate
+
+    result = evaluate(_policy_from_spec(args.p1), _policy_from_spec(args.p2),
+                      _env_params(args), jax.random.key(args.seed),
+                      num_envs=args.num_envs, min_episodes=args.episodes)
+    print(json.dumps(result, indent=2))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="merging_gym_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -233,6 +260,17 @@ def main(argv=None):
 
     pb = sub.add_parser("bench", help="run the headline benchmark")
     pb.set_defaults(fn=cmd_bench)
+
+    pe = sub.add_parser("eval", help="head-to-head policy evaluation")
+    _add_env_args(pe)
+    pe.add_argument("--p1", default="random",
+                    help='"random", "l0", "const:<a>", a params.npz, or a '
+                         'reference .pth run dir')
+    pe.add_argument("--p2", default="l0")
+    pe.add_argument("--episodes", type=int, default=512)
+    pe.add_argument("--num-envs", type=int, default=256)
+    pe.add_argument("--seed", type=int, default=0)
+    pe.set_defaults(fn=cmd_eval)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -149,17 +149,22 @@ def _device_train_step(cfg: D.DQNConfig, env_params: EnvParams,
     can = fill >= cfg.memory_capacity
     dqn = jax.lax.cond(can, do_learn, lambda d: d, carry.dqn)
 
+    # Metrics: psum the per-step increments so the counters are *global*
+    # and bitwise-replicated on every device at every step (no
+    # end-of-chunk reduction that would double-count across chunks).
     ep_reward = carry.ep_reward + jnp.where(store_mask, ts.rewards[:, 0], 0.0)
     m = carry.metrics
     done_i = ts.done.astype(m.episodes.dtype)
     won = ts.done & (ts.obs[:, 8] > ts.obs[:, 3])
-    metrics = D.Metrics(
-        env_steps=m.env_steps + n,
-        episodes=m.episodes + jnp.sum(done_i),
-        collisions=m.collisions + jnp.sum(ts.collision.astype(done_i.dtype)),
-        wins=m.wins + jnp.sum(won.astype(done_i.dtype)),
-        sum_ep_reward=m.sum_ep_reward + jnp.sum(jnp.where(ts.done, ep_reward, 0.0)),
+    inc = D.Metrics(
+        env_steps=jnp.asarray(n, m.env_steps.dtype),
+        episodes=jnp.sum(done_i),
+        collisions=jnp.sum(ts.collision.astype(done_i.dtype)),
+        wins=jnp.sum(won.astype(done_i.dtype)),
+        sum_ep_reward=jnp.sum(jnp.where(ts.done, ep_reward, 0.0)),
     )
+    inc = jax.tree.map(lambda x: jax.lax.psum(x, "data"), inc)
+    metrics = jax.tree.map(jnp.add, m, inc)
     ep_reward = jnp.where(ts.done, 0.0, ep_reward)
 
     out = D.TrainCarry(env_state=env_state, obs=next_obs, ep_reward=ep_reward,
@@ -241,9 +246,7 @@ def _spmd_chunk(cfg, env_params, carry, num_steps, mesh):
             partial(_device_train_step, cfg, env_params), carry,
             None, length=num_steps)
         return carry.replace(
-            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)),
-            metrics=jax.tree.map(lambda x: jax.lax.psum(x, "data"), carry.metrics),
-        )
+            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)))
 
     out_specs = carry_pspecs(cfg, carry)
     return jax.shard_map(per_device, mesh=mesh, in_specs=(specs,),
@@ -254,3 +257,97 @@ def spmd_train_chunk(mesh: Mesh, cfg: D.DQNConfig, env_params: EnvParams,
                      carry: D.TrainCarry, num_steps: int) -> D.TrainCarry:
     """Run ``num_steps`` SPMD actor+learner steps across the mesh."""
     return _spmd_chunk(cfg, env_params, carry, num_steps, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Distributed Rainbow (BASELINE config 5: envs sharded over the data axis
+# feeding a data-parallel learner)
+# ---------------------------------------------------------------------------
+
+def rainbow_carry_pspecs(carry):
+    """PartitionSpecs for a RainbowCarry: env batch, replay and n-step
+    history sharded over ``data``; params, noise and counters replicated."""
+    from merging_gym_tpu.agents.rainbow import RainbowCarry
+    from merging_gym_tpu.ops.per import PERState
+
+    batched = P("data")
+    rep = lambda tree: jax.tree.map(lambda _: P(), tree)
+    if isinstance(carry.replay, PERState):
+        replay_specs = PERState(
+            base=rp.ReplayState(
+                data=jax.tree.map(lambda _: batched, carry.replay.base.data),
+                cursor=P()),
+            priorities=batched, max_priority=P(), alpha=P())
+    else:
+        replay_specs = rp.ReplayState(
+            data=jax.tree.map(lambda _: batched, carry.replay.data),
+            cursor=P())
+    return RainbowCarry(
+        env_state=jax.tree.map(lambda _: batched, carry.env_state),
+        obs=batched, ep_reward=batched,
+        params=rep(carry.params), target_params=rep(carry.target_params),
+        opt_state=rep(carry.opt_state),
+        noise=rep(carry.noise), target_noise=rep(carry.target_noise),
+        noise_key=P(),
+        replay=replay_specs,
+        nstep_hist=jax.tree.map(lambda _: P(None, "data"), carry.nstep_hist),
+        nstep_len=batched,
+        sync_chunks=P(), last_loss=P(), key=P(),
+        metrics=jax.tree.map(lambda _: P(), carry.metrics),
+    )
+
+
+def spmd_rainbow_init(key, cfg, env_params: EnvParams, num_envs: int,
+                      mesh: Mesh):
+    """Sharded Rainbow carry; ``cfg.memory_capacity`` is per-device.
+
+    Use ``env_params.random_start=True`` for vectorised self-play: with
+    deterministic starts and no epsilon, noisy-greedy clones every env.
+    """
+    from merging_gym_tpu.agents import rainbow as R
+
+    dp = mesh.shape["data"]
+    assert num_envs % dp == 0
+    assert cfg.pmean_axis == "data", "set RainbowConfig(pmean_axis='data')"
+    carry = R.rainbow_train_init(key, cfg, env_params, num_envs)
+    if cfg.per:
+        from merging_gym_tpu.ops import per as per_ops
+        replay = per_ops.per_init(cfg.memory_capacity * dp,
+                                  D.transition_example(D.DQNConfig()),
+                                  cfg.per_alpha)
+    else:
+        replay = rp.replay_init(cfg.memory_capacity * dp,
+                                D.transition_example(D.DQNConfig()))
+    carry = carry.replace(replay=replay)
+    specs = rainbow_carry_pspecs(carry)
+    shardings = jax.tree.map(
+        lambda s: jax.sharding.NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(carry, shardings)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _spmd_rainbow_chunk(cfg, env_params, carry, num_steps, mesh):
+    from merging_gym_tpu.agents import rainbow as R
+
+    specs = rainbow_carry_pspecs(carry)
+
+    def per_device(carry):
+        shared_key = carry.key
+        idx = jax.lax.axis_index("data")
+        carry = carry.replace(key=jax.random.fold_in(shared_key, idx))
+        carry, _ = jax.lax.scan(
+            partial(R.rainbow_train_step, cfg, env_params), carry,
+            None, length=num_steps)
+        return carry.replace(
+            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)))
+
+    return jax.shard_map(per_device, mesh=mesh, in_specs=(specs,),
+                         out_specs=specs, check_vma=False)(carry)
+
+
+def spmd_rainbow_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
+                       num_steps: int):
+    """Distributed Rainbow: envs + replay sharded on ``data``, one
+    pmean-combined learner, globally consistent episodic target sync."""
+    return _spmd_rainbow_chunk(cfg, env_params, carry, num_steps, mesh)
