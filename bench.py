@@ -1,15 +1,22 @@
 """Headline benchmark: vectorised env throughput on one chip.
 
 Measures env-steps/s of the jitted 4096-env rollout with random policies
-(BASELINE.json config 2).  The reference runs one serial Python env with
-two quadprog QP solves and a shapely polygon test per step -- order 1e3
-env-steps/s on CPU at best (BASELINE.md "implied throughput"); that 1e3
-upper bound is the ``vs_baseline`` denominator.
+and full trajectory collection (BASELINE.json config 2).  The reference
+runs one serial Python env with two quadprog QP solves and a shapely
+polygon test per step -- order 1e3 env-steps/s on CPU at best
+(BASELINE.md "implied throughput"); that 1e3 upper bound is the
+``vs_baseline`` denominator.
+
+Timing is forced-readback: every chunk ends with a host read of a scalar
+reduction over the produced rewards, so the device cannot run ahead of
+the clock (``block_until_ready`` alone proved unreliable on tunneled
+runtimes).  The reported value is the median of several repetitions.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import statistics
 import time
 
 import jax
@@ -20,7 +27,9 @@ from merging_gym_tpu.core.env import EnvParams
 from merging_gym_tpu.core.vector import reset_batch, rollout
 
 NUM_ENVS = 4096
-STEPS_PER_CHUNK = 1024
+STEPS_PER_CHUNK = 512
+CHUNKS_PER_REP = 4
+REPS = 5
 REFERENCE_STEPS_PER_SEC = 1e3  # BASELINE.md: implied 1e2-1e3 on CPU
 
 
@@ -36,18 +45,22 @@ def main():
 
     run = jax.jit(lambda s, k: rollout(params, s, policy, None, k, STEPS_PER_CHUNK))
 
-    # Warmup / compile.
+    # Warmup / compile, with a forced sync.
     (state, _), traj = run(state, jax.random.key(1))
-    jax.block_until_ready(traj.rewards)
+    float(jnp.sum(traj.rewards))
 
-    n_chunks = 8
-    t0 = time.perf_counter()
-    for i in range(n_chunks):
-        (state, _), traj = run(state, jax.random.key(2 + i))
-    jax.block_until_ready(traj.rewards)
-    dt = time.perf_counter() - t0
+    rates = []
+    key_i = 2
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        for _ in range(CHUNKS_PER_REP):
+            (state, _), traj = run(state, jax.random.key(key_i))
+            key_i += 1
+            float(jnp.sum(traj.rewards))  # forced readback fence
+        dt = time.perf_counter() - t0
+        rates.append(NUM_ENVS * STEPS_PER_CHUNK * CHUNKS_PER_REP / dt)
 
-    steps_per_sec = NUM_ENVS * STEPS_PER_CHUNK * n_chunks / dt
+    steps_per_sec = statistics.median(rates)
     print(json.dumps({
         "metric": "env_steps_per_sec_1chip_4096envs",
         "value": round(steps_per_sec, 1),

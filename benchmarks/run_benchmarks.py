@@ -1,5 +1,9 @@
 """Benchmark suite: one JSON line per benchmark (bench.py runs only the
-headline).  Covers the BASELINE.json configs that fit on one chip:
+headline).  All timings use forced host readback of a scalar derived from
+the computation's outputs (block_until_ready alone proved unreliable on
+tunneled runtimes -- the device can run ahead of the clock).
+
+Covers the BASELINE.json configs that fit on one chip:
 
   rollout-<n>      vectorized env throughput at n envs, random policies
   dqn-train        fused actor+replay+learner throughput (config 3)
@@ -39,16 +43,21 @@ def bench_rollout(num_envs, steps, chunks, collect="full"):
     def policy(ps, obs, key):
         return ps, jax.random.randint(key, (obs.shape[0], 2), -1, C.NUM_ACTIONS)
 
+    def sync(state, traj):
+        if collect == "full":
+            return float(jnp.sum(traj.rewards))
+        if collect == "rewards":
+            return float(jnp.sum(traj[0]))
+        return float(jnp.sum(state.pos))
+
     run = jax.jit(lambda s, k: rollout(params, s, policy, None, k, steps,
                                        collect=collect))
     (state, _), traj = run(state, jax.random.key(1))
-    jax.block_until_ready(state.pos)
+    sync(state, traj)
     t0 = time.perf_counter()
     for i in range(chunks):
         (state, _), traj = run(state, jax.random.key(2 + i))
-    jax.block_until_ready(state.pos)
-    if traj is not None:
-        jax.block_until_ready(traj)
+        sync(state, traj)
     dt = time.perf_counter() - t0
     _report(f"rollout-{num_envs}-{collect}", num_envs * steps * chunks / dt,
             "env-steps/s")
@@ -62,11 +71,11 @@ def bench_dqn(num_envs, steps, chunks):
     env_params = EnvParams()
     carry = D.train_init(jax.random.key(0), cfg, env_params, num_envs)
     carry = D.train_chunk(cfg, env_params, carry, steps)
-    jax.block_until_ready(carry.dqn.params)
+    float(jnp.sum(carry.dqn.params["fc2"]["b"]))
     t0 = time.perf_counter()
     for _ in range(chunks):
         carry = D.train_chunk(cfg, env_params, carry, steps)
-    jax.block_until_ready(carry.dqn.params)
+        float(jnp.sum(carry.dqn.params["fc2"]["b"]))
     dt = time.perf_counter() - t0
     _report("dqn-train", num_envs * steps * chunks / dt, "env-steps/s",
             learns_per_sec=round(steps * chunks / dt, 1))
@@ -81,11 +90,11 @@ def bench_hdqn(num_envs, steps, chunks):
     env_params = EnvParams()
     carry = H.hdqn_init(jax.random.key(0), cfg, env_params, num_envs)
     carry = H.hdqn_train_chunk(cfg, env_params, carry, steps)
-    jax.block_until_ready(carry.lower.params)
+    float(jnp.sum(carry.lower.params["fc2"]["b"]))
     t0 = time.perf_counter()
     for _ in range(chunks):
         carry = H.hdqn_train_chunk(cfg, env_params, carry, steps)
-    jax.block_until_ready(carry.lower.params)
+        float(jnp.sum(carry.lower.params["fc2"]["b"]))
     dt = time.perf_counter() - t0
     _report("hdqn-train", num_envs * steps * chunks / dt, "env-steps/s")
 
@@ -98,11 +107,11 @@ def bench_rainbow(num_envs, steps, chunks):
     env_params = EnvParams()
     carry = R.rainbow_train_init(jax.random.key(0), cfg, env_params, num_envs)
     carry = R.rainbow_train_chunk(cfg, env_params, carry, steps)
-    jax.block_until_ready(carry.params)
+    float(jnp.sum(carry.params["linear1"]["b"]))
     t0 = time.perf_counter()
     for _ in range(chunks):
         carry = R.rainbow_train_chunk(cfg, env_params, carry, steps)
-    jax.block_until_ready(carry.params)
+        float(jnp.sum(carry.params["linear1"]["b"]))
     dt = time.perf_counter() - t0
     _report("rainbow-train", num_envs * steps * chunks / dt, "env-steps/s")
 

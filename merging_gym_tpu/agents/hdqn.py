@@ -47,6 +47,26 @@ from merging_gym_tpu.nn.mlp import qnet_apply, qnet_init
 from merging_gym_tpu.ops import replay as rp
 
 
+def _learn_dp(state: D.DQNState, batch, cfg: D.DQNConfig, axis):
+    """D.learn with optional pmean gradient combine over a mesh axis."""
+    if axis is None:
+        return D.learn(state, batch, cfg)
+    sync = state.learn_counter % cfg.target_sync == 0
+    target_params = jax.tree.map(
+        lambda e, t: jnp.where(sync, e, t), state.params, state.target_params)
+    loss, grads = jax.value_and_grad(D.td_loss)(
+        state.params, target_params, batch, cfg)
+    grads = jax.lax.pmean(grads, axis)
+    loss = jax.lax.pmean(loss, axis)
+    updates, opt_state = D.make_optimizer(cfg).update(
+        grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return D.DQNState(params=params, target_params=target_params,
+                      opt_state=opt_state,
+                      learn_counter=state.learn_counter + 1,
+                      last_loss=loss.astype(jnp.float32))
+
+
 def goal_status(obs: jax.Array) -> jax.Array:
     """Discretise relative longitudinal position into 3 classes
     (hdqn.py:223-236): dx1 < -0.5*v2 -> 0 (behind); < 0.5*v2 -> 1
@@ -79,6 +99,9 @@ class HDQNConfig:
     mask_terminal: bool = struct.field(pytree_node=False, default=False)
     opponent: str = struct.field(pytree_node=False, default=D.OPP_L0)
     faithful_meta: bool = struct.field(pytree_node=False, default=True)
+    # Set by parallel.spmd for data-parallel training: psum'd metrics,
+    # pmean'd gradients, globally agreed learn gates.
+    pmean_axis: str | None = struct.field(pytree_node=False, default=None)
 
     def lower_cfg(self) -> D.DQNConfig:
         return D.DQNConfig(
@@ -209,7 +232,7 @@ def hdqn_step(cfg: HDQNConfig, env_params: EnvParams, carry: HDQNCarry, _):
 
     def learn_lower(st):
         batch, _ = rp.sample(lower_replay, k_ls, cfg.batch_size)
-        return D.learn(st, batch, cfg.lower_cfg())
+        return _learn_dp(st, batch, cfg.lower_cfg(), cfg.pmean_axis)
 
     lower = jax.lax.cond(rp.can_learn(lower_replay), learn_lower,
                          lambda s: s, carry.lower)
@@ -230,26 +253,37 @@ def hdqn_step(cfg: HDQNConfig, env_params: EnvParams, carry: HDQNCarry, _):
 
     def learn_upper(st):
         batch, _ = rp.sample(upper_replay, k_us, cfg.batch_size)
-        return D.learn(st, batch, cfg.upper_cfg())
+        return _learn_dp(st, batch, cfg.upper_cfg(), cfg.pmean_axis)
 
     # One meta learn per step when any option ended (reference: one per
     # option end, hdqn.py:326-327; at num_envs=1 this matches exactly).
+    # Under SPMD the gate must be a global decision: option-end counts
+    # and masked goal-memory fills differ per device.
+    upper_fill = upper_replay.cursor
+    any_end = option_end.any()
+    if cfg.pmean_axis is not None:
+        upper_fill = jax.lax.pmin(upper_fill, cfg.pmean_axis)
+        any_end = jax.lax.psum(any_end.astype(jnp.int32), cfg.pmean_axis) > 0
     upper = jax.lax.cond(
-        rp.can_learn(upper_replay) & option_end.any(), learn_upper,
+        (upper_fill >= cfg.goal_memory_capacity) & any_end, learn_upper,
         lambda s: s, carry.upper)
 
     # Metrics (hdqn.py:330-346): unconditional reward accumulation.
+    # Under SPMD, increments are psum'd so counters stay global/replicated.
     ep_reward = carry.ep_reward + ts.rewards[:, 0]
     m = carry.metrics
     done_i = ts.done.astype(m.episodes.dtype)
     won = ts.done & (ts.obs[:, 8] > ts.obs[:, 3])
-    metrics = D.Metrics(
-        env_steps=m.env_steps + ts.done.shape[0],
-        episodes=m.episodes + jnp.sum(done_i),
-        collisions=m.collisions + jnp.sum(ts.collision.astype(done_i.dtype)),
-        wins=m.wins + jnp.sum(won.astype(done_i.dtype)),
-        sum_ep_reward=m.sum_ep_reward + jnp.sum(jnp.where(ts.done, ep_reward, 0.0)),
+    inc = D.Metrics(
+        env_steps=jnp.asarray(ts.done.shape[0], m.env_steps.dtype),
+        episodes=jnp.sum(done_i),
+        collisions=jnp.sum(ts.collision.astype(done_i.dtype)),
+        wins=jnp.sum(won.astype(done_i.dtype)),
+        sum_ep_reward=jnp.sum(jnp.where(ts.done, ep_reward, 0.0)),
     )
+    if cfg.pmean_axis is not None:
+        inc = jax.tree.map(lambda x: jax.lax.psum(x, cfg.pmean_axis), inc)
+    metrics = jax.tree.map(jnp.add, m, inc)
     ep_reward = jnp.where(ts.done, 0.0, ep_reward)
 
     out = HDQNCarry(

@@ -351,3 +351,76 @@ def spmd_rainbow_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
     """Distributed Rainbow: envs + replay sharded on ``data``, one
     pmean-combined learner, globally consistent episodic target sync."""
     return _spmd_rainbow_chunk(cfg, env_params, carry, num_steps, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Distributed HDQN (BASELINE config 4 at multi-device scale)
+# ---------------------------------------------------------------------------
+
+def hdqn_carry_pspecs(carry):
+    from merging_gym_tpu.agents.hdqn import HDQNCarry
+
+    batched = P("data")
+    rep = lambda tree: jax.tree.map(lambda _: P(), tree)
+    replay_specs = lambda r: rp.ReplayState(
+        data=jax.tree.map(lambda _: batched, r.data), cursor=P())
+    return HDQNCarry(
+        env_state=jax.tree.map(lambda _: batched, carry.env_state),
+        obs=batched, goal=batched, goal_op=batched,
+        option_start_obs=batched, option_start=batched,
+        extr_return=batched, ep_reward=batched,
+        upper=rep(carry.upper), lower=rep(carry.lower),
+        opp_upper_params=rep(carry.opp_upper_params),
+        opp_lower_params=rep(carry.opp_lower_params),
+        upper_replay=replay_specs(carry.upper_replay),
+        lower_replay=replay_specs(carry.lower_replay),
+        key=P(), metrics=jax.tree.map(lambda _: P(), carry.metrics),
+    )
+
+
+def spmd_hdqn_init(key, cfg, env_params: EnvParams, num_envs: int,
+                   mesh: Mesh, opp_upper=None, opp_lower=None):
+    """Sharded HDQN carry; memory capacities are per-device."""
+    from merging_gym_tpu.agents import hdqn as H
+
+    dp = mesh.shape["data"]
+    assert num_envs % dp == 0
+    assert cfg.pmean_axis == "data", "set HDQNConfig(pmean_axis='data')"
+    carry = H.hdqn_init(key, cfg, env_params, num_envs, opp_upper, opp_lower)
+    carry = carry.replace(
+        upper_replay=rp.replay_init(cfg.goal_memory_capacity * dp,
+                                    D.transition_example(cfg.upper_cfg())),
+        lower_replay=rp.replay_init(cfg.memory_capacity * dp,
+                                    D.transition_example(cfg.lower_cfg())),
+    )
+    specs = hdqn_carry_pspecs(carry)
+    shardings = jax.tree.map(
+        lambda s: jax.sharding.NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(carry, shardings)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _spmd_hdqn_chunk(cfg, env_params, carry, num_steps, mesh):
+    from merging_gym_tpu.agents import hdqn as H
+
+    specs = hdqn_carry_pspecs(carry)
+
+    def per_device(carry):
+        shared_key = carry.key
+        idx = jax.lax.axis_index("data")
+        carry = carry.replace(key=jax.random.fold_in(shared_key, idx))
+        carry, _ = jax.lax.scan(
+            partial(H.hdqn_step, cfg, env_params), carry,
+            None, length=num_steps)
+        return carry.replace(
+            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)))
+
+    return jax.shard_map(per_device, mesh=mesh, in_specs=(specs,),
+                         out_specs=specs, check_vma=False)(carry)
+
+
+def spmd_hdqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
+                    num_steps: int):
+    """Distributed hierarchical DQN over the ``data`` axis."""
+    return _spmd_hdqn_chunk(cfg, env_params, carry, num_steps, mesh)

@@ -93,3 +93,21 @@ def test_spmd_rainbow(devices8):
     # params replicated: gather works and is finite
     w = np.asarray(jax.device_get(carry.params["linear1"]["w"]))
     assert np.isfinite(w).all()
+
+
+def test_spmd_hdqn(devices8):
+    from merging_gym_tpu.agents import hdqn as H
+
+    mesh = make_mesh(data=4, model=1, devices=devices8[:4])
+    cfg = H.HDQNConfig(memory_capacity=64, goal_memory_capacity=16,
+                       batch_size=8, opponent=D.OPP_SELFPLAY,
+                       pmean_axis="data")
+    env_params = EnvParams()
+    carry = spmd.spmd_hdqn_init(jax.random.key(9), cfg, env_params,
+                                num_envs=16, mesh=mesh)
+    carry = spmd.spmd_hdqn_chunk(mesh, cfg, env_params, carry, 30)
+    assert int(carry.metrics.env_steps) == 30 * 16
+    carry = spmd.spmd_hdqn_chunk(mesh, cfg, env_params, carry, 30)
+    assert int(carry.metrics.env_steps) == 60 * 16
+    assert not bool(jnp.isnan(carry.lower.last_loss))
+    assert int(carry.goal.max()) < 3
