@@ -239,6 +239,9 @@ def cmd_eval(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="merging_gym_tpu")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (this environment pre-imports "
+                        "jax, so JAX_PLATFORMS env vars are too late)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pt = sub.add_parser("train", help="train one agent")
@@ -273,6 +276,9 @@ def main(argv=None):
     pe.set_defaults(fn=cmd_eval)
 
     args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     args.fn(args)
 
 
