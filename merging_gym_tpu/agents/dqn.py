@@ -35,7 +35,7 @@ from flax import struct
 
 from merging_gym_tpu.core import constants as C
 from merging_gym_tpu.core.env import EnvParams, swap_obs
-from merging_gym_tpu.core.vector import autoreset_step, reset_batch
+from merging_gym_tpu.core.vector import autoreset_step, observe_after_reset, reset_batch
 from merging_gym_tpu.core import env as core_env
 from merging_gym_tpu.agents.policies import EPSILON, eps_greedy_from_q
 from merging_gym_tpu.nn.mlp import qnet_apply, qnet_init
@@ -212,7 +212,7 @@ def train_step(cfg: DQNConfig, env_params: EnvParams, carry: TrainCarry, _):
     key, k_act, k_reset, k_sample = jax.random.split(carry.key, 4)
     actions = _choose_actions(carry, cfg, k_act)
     env_state, ts = autoreset_step(env_params, carry.env_state, actions, k_reset)
-    next_obs = jax.vmap(core_env.observe)(env_state)
+    next_obs = observe_after_reset(env_params, env_state, ts)
 
     # Store-gating: drop transitions once the ego has won (main.py:209-210).
     store_mask = ts.winner != 1

@@ -31,7 +31,7 @@ from merging_gym_tpu.agents.policies import EPSILON, eps_greedy_from_q
 from merging_gym_tpu.core import constants as C
 from merging_gym_tpu.core import env as core_env
 from merging_gym_tpu.core.env import EnvParams
-from merging_gym_tpu.core.vector import autoreset_step, reset_batch
+from merging_gym_tpu.core.vector import autoreset_step, observe_after_reset, reset_batch
 from merging_gym_tpu.nn.lstm import (LSTM_HIDDEN, drqn_init, drqn_step,
                                      drqn_unroll, lstm_zero_carry)
 from merging_gym_tpu.ops import replay as rp
@@ -156,7 +156,7 @@ def drqn_train_step(cfg: DRQNConfig, env_params: EnvParams,
         q, jax.random.split(k_act, n), cfg.epsilon, cfg.num_actions)
     actions = jnp.stack([a1, jnp.full((n,), C.ACTION_NONE, jnp.int32)], -1)
     env_state, ts = autoreset_step(env_params, carry.env_state, actions, k_reset)
-    next_obs = jax.vmap(core_env.observe)(env_state)
+    next_obs = observe_after_reset(env_params, env_state, ts)
 
     # Zero hidden state where the episode reset (recurrent state must not
     # leak across episodes).

@@ -42,7 +42,7 @@ from merging_gym_tpu.agents.policies import EPSILON, eps_greedy_from_q
 from merging_gym_tpu.core import constants as C
 from merging_gym_tpu.core import env as core_env
 from merging_gym_tpu.core.env import EnvParams, swap_obs
-from merging_gym_tpu.core.vector import autoreset_step, reset_batch
+from merging_gym_tpu.core.vector import autoreset_step, observe_after_reset, reset_batch
 from merging_gym_tpu.nn.mlp import qnet_apply, qnet_init
 from merging_gym_tpu.ops import replay as rp
 
@@ -213,7 +213,7 @@ def hdqn_step(cfg: HDQNConfig, env_params: EnvParams, carry: HDQNCarry, _):
     a1 = _choose_actions_lower(carry.lower.params, goal, obs, k_a1, cfg)
     actions = jnp.stack([a1, a2], axis=-1)
     env_state, ts = autoreset_step(env_params, carry.env_state, actions, k_reset)
-    next_obs_env = jax.vmap(core_env.observe)(env_state)
+    next_obs_env = observe_after_reset(env_params, env_state, ts)
 
     # Goal re-chosen from the post-step state every step (hdqn.py:303).
     goal_new = _choose_goals(carry.upper.params, ts.obs, k_g2, cfg)

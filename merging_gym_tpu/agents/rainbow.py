@@ -42,7 +42,7 @@ from merging_gym_tpu.agents import dqn as D
 from merging_gym_tpu.core import constants as C
 from merging_gym_tpu.core import env as core_env
 from merging_gym_tpu.core.env import EnvParams
-from merging_gym_tpu.core.vector import autoreset_step, reset_batch
+from merging_gym_tpu.core.vector import autoreset_step, observe_after_reset, reset_batch
 from merging_gym_tpu.nn.rainbow_net import (
     NUM_ATOMS, rainbow_apply, rainbow_init, rainbow_q_values,
     rainbow_sample_noise, support)
@@ -176,7 +176,7 @@ def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
               jnp.roll(obs, cfg.opponent_roll, axis=-1), cfg)
     actions = jnp.stack([a1, a2], axis=-1)
     env_state, ts = autoreset_step(env_params, carry.env_state, actions, k_reset)
-    next_obs_env = jax.vmap(core_env.observe)(env_state)
+    next_obs_env = observe_after_reset(env_params, env_state, ts)
 
     # --- n-step window maintenance ----------------------------------------
     n = cfg.n_step

@@ -49,6 +49,21 @@ def autoreset_step(params: EnvParams, state: EnvState, actions: jax.Array,
     return jax.tree.map(pick, fresh, next_state), ts
 
 
+def observe_after_reset(params: EnvParams, state: EnvState, ts):
+    """Post-auto-reset observation without re-running the trig.
+
+    ``ts.obs`` already holds the stepped observation; only the freshly
+    reset envs differ.  With deterministic starts the reset observation
+    is a compile-time constant, so this replaces a full second
+    ``observe`` pass (4 transcendentals per env per step) with one
+    ``where`` select.  Randomised starts still need the real pass.
+    """
+    if params.random_start:
+        return jax.vmap(core_env.observe)(state)
+    fresh_obs = core_env.observe(core_env.reset(params, dtype=state.pos.dtype))
+    return jnp.where(ts.done[:, None], fresh_obs.astype(ts.obs.dtype), ts.obs)
+
+
 def rollout(params: EnvParams, state: EnvState, policy_fn, policy_state,
             key: jax.Array, num_steps: int, collect: str = "full"):
     """``lax.scan`` rollout of ``num_steps`` lockstep env steps.
@@ -70,7 +85,7 @@ def rollout(params: EnvParams, state: EnvState, policy_fn, policy_state,
         k_act, k_reset = jax.random.split(key)
         policy_state, actions = policy_fn(policy_state, obs, k_act)
         state, ts = autoreset_step(params, state, actions, k_reset)
-        next_obs = jax.vmap(core_env.observe)(state)
+        next_obs = observe_after_reset(params, state, ts)
         if collect == "full":
             out = ts
         elif collect == "rewards":

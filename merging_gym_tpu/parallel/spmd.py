@@ -41,7 +41,7 @@ from merging_gym_tpu.agents.policies import eps_greedy_from_q
 from merging_gym_tpu.core import constants as C
 from merging_gym_tpu.core import env as core_env
 from merging_gym_tpu.core.env import EnvParams, swap_obs
-from merging_gym_tpu.core.vector import autoreset_step, reset_batch
+from merging_gym_tpu.core.vector import autoreset_step, observe_after_reset, reset_batch
 from merging_gym_tpu.ops import replay as rp
 
 
@@ -114,7 +114,7 @@ def _device_train_step(cfg: D.DQNConfig, env_params: EnvParams,
     actions = jnp.stack([a1, a2], axis=-1)
 
     env_state, ts = autoreset_step(env_params, carry.env_state, actions, k_reset)
-    next_obs = jax.vmap(core_env.observe)(env_state)
+    next_obs = observe_after_reset(env_params, env_state, ts)
 
     store_mask = ts.winner != 1
     items = {
