@@ -260,5 +260,5 @@ def train_chunk(cfg: DQNConfig, env_params: EnvParams, carry: TrainCarry,
                 num_steps: int) -> TrainCarry:
     """Run ``num_steps`` fused actor+learner steps under one jit."""
     carry, _ = jax.lax.scan(partial(train_step, cfg, env_params), carry,
-                            None, length=num_steps)
+                            None, length=num_steps, unroll=2)
     return carry

@@ -65,7 +65,8 @@ def observe_after_reset(params: EnvParams, state: EnvState, ts):
 
 
 def rollout(params: EnvParams, state: EnvState, policy_fn, policy_state,
-            key: jax.Array, num_steps: int, collect: str = "full"):
+            key: jax.Array, num_steps: int, collect: str = "full",
+            unroll: int = 4):
     """``lax.scan`` rollout of ``num_steps`` lockstep env steps.
 
     ``policy_fn(policy_state, obs_batch, key) -> (policy_state, actions)``
@@ -95,5 +96,6 @@ def rollout(params: EnvParams, state: EnvState, policy_fn, policy_state,
         return (state, policy_state, next_obs), out
 
     keys = jax.random.split(key, num_steps)
-    (state, policy_state, _), traj = jax.lax.scan(body, (state, policy_state, obs0), keys)
+    (state, policy_state, _), traj = jax.lax.scan(
+        body, (state, policy_state, obs0), keys, unroll=unroll)
     return (state, policy_state), traj
