@@ -48,6 +48,7 @@ from merging_gym_tpu.nn.rainbow_net import (
     rainbow_sample_noise, support)
 from merging_gym_tpu.ops import per as per_ops
 from merging_gym_tpu.ops import replay as rp
+from merging_gym_tpu.ops.nstep import NStepState, nstep_init, nstep_update
 from merging_gym_tpu.ops.projection import categorical_projection
 
 
@@ -84,8 +85,7 @@ class RainbowCarry:
     target_noise: Any
     noise_key: jax.Array    # shared stream: keeps noise replicated under SPMD
     replay: Any               # rp.ReplayState or per_ops.PERState
-    nstep_hist: Any           # {obs, action, reward, done}: f[n, envs, ...]
-    nstep_len: jax.Array      # i32[envs] valid history length since reset
+    nstep: NStepState         # sliding n-step windows (ops.nstep)
     sync_chunks: jax.Array    # i32 completed-episode // 20 chunks synced
     last_loss: jax.Array
     key: jax.Array
@@ -109,12 +109,7 @@ def rainbow_train_init(key, cfg: RainbowConfig, env_params: EnvParams,
         replay = per_ops.per_init(cfg.memory_capacity, example, cfg.per_alpha)
     else:
         replay = rp.replay_init(cfg.memory_capacity, example)
-    n = cfg.n_step
-    nstep_hist = {
-        "obs": jnp.zeros((n, num_envs, cfg.obs_dim), jnp.float32),
-        "action": jnp.zeros((n, num_envs), jnp.int32),
-        "reward": jnp.zeros((n, num_envs), jnp.float32),
-    }
+    nstep = nstep_init(cfg.n_step, num_envs, cfg.obs_dim)
     return RainbowCarry(
         env_state=env_state, obs=obs,
         ep_reward=jnp.zeros((num_envs,), jnp.float32),
@@ -124,8 +119,7 @@ def rainbow_train_init(key, cfg: RainbowConfig, env_params: EnvParams,
         target_noise=rainbow_sample_noise(k_n2, cfg.num_actions, cfg.num_atoms),
         replay=replay,
         noise_key=k_noise,
-        nstep_hist=nstep_hist,
-        nstep_len=jnp.zeros((num_envs,), jnp.int32),
+        nstep=nstep,
         sync_chunks=jnp.zeros((), jnp.int32),
         last_loss=jnp.zeros((), jnp.float32),
         key=k_run, metrics=D.Metrics.zero(),
@@ -178,25 +172,9 @@ def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
     env_state, ts = autoreset_step(env_params, carry.env_state, actions, k_reset)
     next_obs_env = observe_after_reset(env_params, env_state, ts)
 
-    # --- n-step window maintenance ----------------------------------------
-    n = cfg.n_step
-    hist = carry.nstep_hist
-    # Discounted rewards-so-far for the open windows, then push this step.
-    hist_reward = hist["reward"] * 1.0
-    if n > 1:
-        steps_open = jnp.minimum(carry.nstep_len, n)
-        age = steps_open[None, :] - jnp.arange(n)[:, None]  # steps each slot has waited
-        gamma_pow = jnp.where(age > 0, cfg.gamma ** age.astype(jnp.float32), 0.0)
-        hist_reward = hist_reward + gamma_pow * ts.rewards[None, :, 0]
-    hist = {
-        "obs": jnp.roll(hist["obs"], -1, axis=0).at[-1].set(obs.astype(jnp.float32)),
-        "action": jnp.roll(hist["action"], -1, axis=0).at[-1].set(a1),
-        "reward": jnp.roll(hist_reward, -1, axis=0).at[-1].set(
-            ts.rewards[:, 0].astype(jnp.float32)),
-    }
-    new_len = jnp.minimum(carry.nstep_len + 1, n)
-
-    if n == 1:
+    # --- n-step window maintenance (ops.nstep) -----------------------------
+    if cfg.n_step == 1:
+        nstep = carry.nstep
         items = {
             "obs": obs.astype(jnp.float32),
             "action": a1,
@@ -206,20 +184,9 @@ def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
         }
         store_mask = jnp.ones((num_envs,), bool)
     else:
-        # Mature transition: window head, emitted once n steps accumulated
-        # or the episode ended (flush on done).
-        mature = new_len >= n
-        items = {
-            "obs": hist["obs"][0],
-            "action": hist["action"][0],
-            "reward": hist["reward"][0],
-            "next_obs": ts.obs.astype(jnp.float32),
-            "done": ts.done,
-        }
-        store_mask = mature | ts.done
-        # NOTE: on done, windows shorter than n flush with their partial
-        # return; the head entry is the oldest valid one.
-        new_len = jnp.where(ts.done, 0, new_len)
+        nstep, items, store_mask = nstep_update(
+            carry.nstep, obs, a1, ts.rewards[:, 0], ts.done,
+            ts.obs, cfg.gamma)
 
     if cfg.per:
         replay = per_ops.per_add_batch(carry.replay, items, store_mask)
@@ -294,7 +261,7 @@ def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
         env_state=env_state, obs=next_obs_env, ep_reward=ep_reward,
         params=params, target_params=target_params, opt_state=opt_state,
         noise=noise, target_noise=target_noise, replay=replay,
-        noise_key=noise_key, nstep_hist=hist, nstep_len=new_len,
+        noise_key=noise_key, nstep=nstep,
         sync_chunks=chunks, last_loss=loss, key=key, metrics=metrics,
     )
     return out, None

@@ -290,8 +290,9 @@ def rainbow_carry_pspecs(carry):
         noise=rep(carry.noise), target_noise=rep(carry.target_noise),
         noise_key=P(),
         replay=replay_specs,
-        nstep_hist=jax.tree.map(lambda _: P(None, "data"), carry.nstep_hist),
-        nstep_len=batched,
+        nstep=jax.tree.map(
+            lambda x: P(None, "data") if x.ndim > 1 else batched,
+            carry.nstep),
         sync_chunks=P(), last_loss=P(), key=P(),
         metrics=jax.tree.map(lambda _: P(), carry.metrics),
     )
