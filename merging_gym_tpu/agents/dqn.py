@@ -108,13 +108,19 @@ def td_loss(params, target_params, batch, cfg: DQNConfig):
     return jnp.mean((q_sel - jax.lax.stop_gradient(target)) ** 2)
 
 
-def learn(state: DQNState, batch, cfg: DQNConfig) -> DQNState:
+def learn(state: DQNState, batch, cfg: DQNConfig, axis=None) -> DQNState:
     """One SGD step, with the every-100-learns target sync applied *before*
-    the update exactly as the reference does (main.py:125-127)."""
+    the update exactly as the reference does (main.py:125-127).
+
+    ``axis``: optional mesh axis name; when set, gradients and loss are
+    pmean-combined so replicated params stay in lockstep (SPMD)."""
     sync = state.learn_counter % cfg.target_sync == 0
     target_params = jax.tree.map(
         lambda e, t: jnp.where(sync, e, t), state.params, state.target_params)
     loss, grads = jax.value_and_grad(td_loss)(state.params, target_params, batch, cfg)
+    if axis is not None:
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
     updates, opt_state = make_optimizer(cfg).update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return DQNState(
@@ -239,7 +245,9 @@ def train_step(cfg: DQNConfig, env_params: EnvParams, carry: TrainCarry, _):
     ep_reward = carry.ep_reward + jnp.where(store_mask, ts.rewards[:, 0], 0.0)
     m = carry.metrics
     done_i = ts.done.astype(m.episodes.dtype)
-    won = ts.done & (ts.obs[:, 8] > ts.obs[:, 3])   # main.py:225
+    # main.py:225 evaluates state[8] > state[3] on the obs from *before*
+    # the final step (the loop breaks before state = next_state).
+    won = ts.done & (carry.obs[:, 8] > carry.obs[:, 3])
     metrics = Metrics(
         env_steps=m.env_steps + ts.done.shape[0],
         episodes=m.episodes + jnp.sum(done_i),

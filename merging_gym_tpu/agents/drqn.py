@@ -213,7 +213,7 @@ def drqn_train_step(cfg: DRQNConfig, env_params: EnvParams,
     ep_reward = carry.ep_reward + ts.rewards[:, 0]
     m = carry.metrics
     done_i = ts.done.astype(m.episodes.dtype)
-    won = ts.done & (ts.obs[:, 8] > ts.obs[:, 3])
+    won = ts.done & (obs[:, 8] > obs[:, 3])  # pre-final-step obs (main.py:225)
     metrics = D.Metrics(
         env_steps=m.env_steps + n,
         episodes=m.episodes + jnp.sum(done_i),

@@ -14,6 +14,8 @@ protocol -- so level-k ladders can be scored round-robin.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,8 +41,8 @@ def evaluate(policy1: Policy, policy2: Policy, env_params: EnvParams,
     k_env, key = jax.random.split(key)
     state = reset_batch(env_params, k_env, num_envs)
 
-    run = jax.jit(lambda s, ps, k: rollout(
-        env_params, s, policy_fn, ps, k, chunk_steps))
+    def run(s, ps, k):
+        return _run_chunk(env_params, s, policy_fn, ps, k, chunk_steps)
 
     counts = {"episodes": 0, "p1_first": 0, "p2_first": 0,
               "collisions": 0, "timeouts": 0}
@@ -78,6 +80,13 @@ def evaluate(policy1: Policy, policy2: Policy, env_params: EnvParams,
         "mean_return_p1": float(ret_sums[0]) / eps,
         "mean_return_p2": float(ret_sums[1]) / eps,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("policy_fn", "chunk_steps"))
+def _run_chunk(env_params, state, policy_fn, pstate, key, chunk_steps):
+    # policy_fn is a cached function object (agents.policies), so every
+    # matchup of the same policy kinds reuses one compilation.
+    return rollout(env_params, state, policy_fn, pstate, key, chunk_steps)
 
 
 def round_robin(named_policies: dict, env_params: EnvParams, key: jax.Array,

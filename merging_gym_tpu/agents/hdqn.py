@@ -47,26 +47,6 @@ from merging_gym_tpu.nn.mlp import qnet_apply, qnet_init
 from merging_gym_tpu.ops import replay as rp
 
 
-def _learn_dp(state: D.DQNState, batch, cfg: D.DQNConfig, axis):
-    """D.learn with optional pmean gradient combine over a mesh axis."""
-    if axis is None:
-        return D.learn(state, batch, cfg)
-    sync = state.learn_counter % cfg.target_sync == 0
-    target_params = jax.tree.map(
-        lambda e, t: jnp.where(sync, e, t), state.params, state.target_params)
-    loss, grads = jax.value_and_grad(D.td_loss)(
-        state.params, target_params, batch, cfg)
-    grads = jax.lax.pmean(grads, axis)
-    loss = jax.lax.pmean(loss, axis)
-    updates, opt_state = D.make_optimizer(cfg).update(
-        grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
-    return D.DQNState(params=params, target_params=target_params,
-                      opt_state=opt_state,
-                      learn_counter=state.learn_counter + 1,
-                      last_loss=loss.astype(jnp.float32))
-
-
 def goal_status(obs: jax.Array) -> jax.Array:
     """Discretise relative longitudinal position into 3 classes
     (hdqn.py:223-236): dx1 < -0.5*v2 -> 0 (behind); < 0.5*v2 -> 1
@@ -232,7 +212,7 @@ def hdqn_step(cfg: HDQNConfig, env_params: EnvParams, carry: HDQNCarry, _):
 
     def learn_lower(st):
         batch, _ = rp.sample(lower_replay, k_ls, cfg.batch_size)
-        return _learn_dp(st, batch, cfg.lower_cfg(), cfg.pmean_axis)
+        return D.learn(st, batch, cfg.lower_cfg(), axis=cfg.pmean_axis)
 
     lower = jax.lax.cond(rp.can_learn(lower_replay), learn_lower,
                          lambda s: s, carry.lower)
@@ -253,7 +233,7 @@ def hdqn_step(cfg: HDQNConfig, env_params: EnvParams, carry: HDQNCarry, _):
 
     def learn_upper(st):
         batch, _ = rp.sample(upper_replay, k_us, cfg.batch_size)
-        return _learn_dp(st, batch, cfg.upper_cfg(), cfg.pmean_axis)
+        return D.learn(st, batch, cfg.upper_cfg(), axis=cfg.pmean_axis)
 
     # One meta learn per step when any option ended (reference: one per
     # option end, hdqn.py:326-327; at num_envs=1 this matches exactly).
@@ -273,7 +253,9 @@ def hdqn_step(cfg: HDQNConfig, env_params: EnvParams, carry: HDQNCarry, _):
     ep_reward = carry.ep_reward + ts.rewards[:, 0]
     m = carry.metrics
     done_i = ts.done.astype(m.episodes.dtype)
-    won = ts.done & (ts.obs[:, 8] > ts.obs[:, 3])
+    # hdqn.py:342 evaluates the pre-final-step obs (loop updates state
+    # before the win check only after breaking).
+    won = ts.done & (obs[:, 8] > obs[:, 3])
     inc = D.Metrics(
         env_steps=jnp.asarray(ts.done.shape[0], m.env_steps.dtype),
         episodes=jnp.sum(done_i),

@@ -14,6 +14,7 @@ Phi(0.7) ~= 0.758, constant over training.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable
 
 import jax
@@ -38,17 +39,31 @@ class Policy:
     params: Any = None
 
 
+# act callables are cached so that two policies of the same kind share the
+# same function object -- jit caches keyed on the act function then reuse
+# one compilation across policy instances (e.g. a round-robin league).
+
+@functools.lru_cache(maxsize=None)
+def _const_act(action: int):
+    return lambda p, obs, key: jnp.int32(action)
+
+
 def l0_policy() -> Policy:
     """The ``action2=None`` constant-velocity opponent (merging_env.py:152)."""
-    return Policy(act=lambda p, obs, key: jnp.int32(C.ACTION_NONE))
+    return Policy(act=_const_act(C.ACTION_NONE))
 
 
 def constant_policy(action: int) -> Policy:
-    return Policy(act=lambda p, obs, key: jnp.int32(action))
+    return Policy(act=_const_act(action))
+
+
+@functools.lru_cache(maxsize=None)
+def _random_act(num_actions: int):
+    return lambda p, obs, key: jax.random.randint(key, (), 0, num_actions, jnp.int32)
 
 
 def random_policy(num_actions: int = C.NUM_ACTIONS) -> Policy:
-    return Policy(act=lambda p, obs, key: jax.random.randint(key, (), 0, num_actions, jnp.int32))
+    return Policy(act=_random_act(num_actions))
 
 
 def eps_greedy_from_q(q_values: jax.Array, key: jax.Array,
@@ -62,15 +77,24 @@ def eps_greedy_from_q(q_values: jax.Array, key: jax.Array,
                      jax.random.randint(kr, (), 0, num_actions, jnp.int32))
 
 
-def q_policy(apply_fn, params, greedy: bool = False,
-             epsilon: float = EPSILON) -> Policy:
-    """Epsilon-greedy (or purely greedy) policy over a Q-net apply_fn."""
+@functools.lru_cache(maxsize=None)
+def _q_act(apply_fn, greedy: bool, epsilon: float):
     def act(p, obs, key):
         q = apply_fn(p, obs)
         if greedy:
             return jnp.argmax(q, axis=-1).astype(jnp.int32)
         return eps_greedy_from_q(q, key, epsilon)
-    return Policy(act=act, params=params)
+    return act
+
+
+def q_policy(apply_fn, params, greedy: bool = False,
+             epsilon: float = EPSILON) -> Policy:
+    """Epsilon-greedy (or purely greedy) policy over a Q-net apply_fn.
+
+    Params live in ``Policy.params`` (threaded through the rollout
+    policy-state), so policies sharing (apply_fn, greedy, epsilon) share
+    one act function and therefore one compilation."""
+    return Policy(act=_q_act(apply_fn, greedy, epsilon), params=params)
 
 
 def two_player(policy1: Policy, policy2: Policy):
@@ -79,15 +103,22 @@ def two_player(policy1: Policy, policy2: Policy):
     Player 2 sees the half-swapped observation (main.py:199).  Returns a
     function with the ``core.vector.rollout`` policy signature; its state
     is the pair of policy params, so learned params can be swapped in
-    per-iteration without retracing.
+    per-iteration without retracing -- and the function itself is cached
+    on the (act1, act2) pair, so matchups between same-kind policies
+    share one compilation.
     """
+    return _two_player_fn(policy1.act, policy2.act), (policy1.params, policy2.params)
+
+
+@functools.lru_cache(maxsize=None)
+def _two_player_fn(act1, act2):
     def policy_fn(pstate, obs, key):
         p1, p2 = pstate
         n = obs.shape[0]
         k1, k2 = jax.random.split(key)
-        a1 = jax.vmap(policy1.act, in_axes=(None, 0, 0))(
+        a1 = jax.vmap(act1, in_axes=(None, 0, 0))(
             p1, obs, jax.random.split(k1, n))
-        a2 = jax.vmap(policy2.act, in_axes=(None, 0, 0))(
+        a2 = jax.vmap(act2, in_axes=(None, 0, 0))(
             p2, swap_obs(obs), jax.random.split(k2, n))
         return pstate, jnp.stack([a1, a2], axis=-1)
-    return policy_fn, (policy1.params, policy2.params)
+    return policy_fn

@@ -166,8 +166,10 @@ def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
 
     # Self-play: one net, both seats (ranbowdqn.py:668-669).
     a1 = _act(carry.params, carry.noise, obs, cfg)
+    # state[k:] + state[:k] is a LEFT rotation: roll by -k.  (The default
+    # 5 is self-inverse mod 10; the reference-bug value 3 is not.)
     a2 = _act(carry.params, carry.noise,
-              jnp.roll(obs, cfg.opponent_roll, axis=-1), cfg)
+              jnp.roll(obs, -cfg.opponent_roll, axis=-1), cfg)
     actions = jnp.stack([a1, a2], axis=-1)
     env_state, ts = autoreset_step(env_params, carry.env_state, actions, k_reset)
     next_obs_env = observe_after_reset(env_params, env_state, ts)
@@ -227,9 +229,14 @@ def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
         lambda op: (op[0], op[1], op[2], carry.last_loss),
         (carry.params, carry.opt_state, replay))
 
-    # Noise resampled every learner invocation (ranbowdqn.py:606-607).
-    noise = rainbow_sample_noise(k_n1, cfg.num_actions, cfg.num_atoms)
-    target_noise = rainbow_sample_noise(k_n2, cfg.num_actions, cfg.num_atoms)
+    # Noise resampled only when the learner ran (ranbowdqn.py:606-607):
+    # during warm-up the acting noise stays fixed, as in the reference.
+    fresh_noise = rainbow_sample_noise(k_n1, cfg.num_actions, cfg.num_atoms)
+    fresh_tnoise = rainbow_sample_noise(k_n2, cfg.num_actions, cfg.num_atoms)
+    noise = jax.tree.map(lambda f, o: jnp.where(fill_ok, f, o),
+                         fresh_noise, carry.noise)
+    target_noise = jax.tree.map(lambda f, o: jnp.where(fill_ok, f, o),
+                                fresh_tnoise, carry.target_noise)
 
     # --- metrics + episodic target sync ------------------------------------
     # Under SPMD (pmean_axis set) the increments are psum'd so the
@@ -238,7 +245,9 @@ def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
     ep_reward = carry.ep_reward + ts.rewards[:, 0]
     m = carry.metrics
     done_i = ts.done.astype(m.episodes.dtype)
-    won = ts.done & (ts.obs[:, 8] > ts.obs[:, 3])
+    # main.py:225 evaluates the obs from *before* the final step (the loop
+    # breaks before state = next_state).
+    won = ts.done & (obs[:, 8] > obs[:, 3])
     inc = D.Metrics(
         env_steps=jnp.asarray(num_envs, m.env_steps.dtype),
         episodes=jnp.sum(done_i),

@@ -120,9 +120,22 @@ def cmd_train(args):
             batch_size=args.batch_size or 128, lr=args.lr or 0.01)
         opp_u = opp_l = None
         if mode == D.OPP_FROZEN:
-            from merging_gym_tpu.io import torch_import as ti
-            nets = ti.load_reference_hdqn(args.opponent)
-            opp_u, opp_l = nets["meta_eval"], nets["lower_eval"]
+            if args.opponent.endswith(".npz"):
+                import jax as _jax
+                from merging_gym_tpu.io.checkpoint import load_params_npz
+                from merging_gym_tpu.nn.mlp import qnet_init
+                like = {
+                    "lower": qnet_init(_jax.random.key(0), cfg.obs_dim + 1,
+                                       cfg.num_actions, cfg.hidden),
+                    "upper": qnet_init(_jax.random.key(0), cfg.obs_dim,
+                                       cfg.num_goals, cfg.hidden),
+                }
+                nets = load_params_npz(args.opponent, like)
+                opp_u, opp_l = nets["upper"], nets["lower"]
+            else:
+                from merging_gym_tpu.io import torch_import as ti
+                nets = ti.load_reference_hdqn(args.opponent)
+                opp_u, opp_l = nets["meta_eval"], nets["lower_eval"]
         carry = H.hdqn_init(key, cfg, env_params, args.num_envs, opp_u, opp_l)
         step_fn = lambda c: H.hdqn_train_chunk(cfg, env_params, c, args.chunk_steps)
         get_params = lambda c: {"lower": c.lower.params, "upper": c.upper.params}
@@ -187,6 +200,10 @@ def cmd_train(args):
 def cmd_levelk(args):
     """Level-k curriculum (main.py:161-168 done properly): L1 trains vs
     L0, L2 vs frozen L1, ... each level saved to its own run dir."""
+    if args.algo not in ("dqn", "hdqn"):
+        raise SystemExit(
+            f"levelk supports --algo dqn or hdqn (got {args.algo!r}): "
+            "rainbow/drqn have no frozen-opponent mode")
     prev = "L0"
     for level in range(1, args.levels + 1):
         sub = argparse.Namespace(**vars(args))

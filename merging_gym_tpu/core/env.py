@@ -78,6 +78,7 @@ class TimeStep:
     done: jax.Array       # bool
     collision: jax.Array  # bool   (info["collision"])
     winner: jax.Array     # i32    (env.winner after the step)
+    actions: jax.Array    # i32[2] the actions that produced this step
 
 
 def observe(state: EnvState) -> jax.Array:
@@ -212,5 +213,6 @@ def step(params: EnvParams, state: EnvState, actions: jax.Array):
         done=done,
         collision=collision,
         winner=w2,
+        actions=actions,
     )
     return next_state, ts

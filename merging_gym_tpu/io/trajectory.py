@@ -68,6 +68,7 @@ def dump_batch_trajectories(log_dir: str, traj, tag: str = "batch",
     rewards = np.asarray(traj.rewards)
     done = np.asarray(traj.done)
     winner = np.asarray(traj.winner)
+    actions = np.asarray(traj.actions)
     T, N = done.shape
     paths = []
     count = 0
@@ -79,9 +80,14 @@ def dump_batch_trajectories(log_dir: str, traj, tag: str = "batch",
                     return paths
                 logger = EpisodeLogger(log_dir, count, tag)
                 for k in range(start, t + 1):
-                    prev_w = winner[k - 1, env_i] if k > start else 0
-                    logger.log_step(obs[k, env_i], "", "",
-                                    rewards[k, env_i], int(prev_w))
+                    # Reference gating checks env.winner AFTER the step
+                    # (human_player.py:180-181): the ego-winning row is
+                    # suppressed.
+                    logger.log_step(obs[k, env_i],
+                                    int(actions[k, env_i, 0]),
+                                    int(actions[k, env_i, 1]),
+                                    rewards[k, env_i],
+                                    int(winner[k, env_i]))
                 logger.close()
                 paths.append(logger.path)
                 count += 1

@@ -46,6 +46,39 @@ from merging_gym_tpu.ops import replay as rp
 
 
 # ---------------------------------------------------------------------------
+# Per-device replay cursors
+# ---------------------------------------------------------------------------
+# Masked stores make ring cursors genuinely diverge across devices (DQN's
+# winner gating, HDQN's option-end gating, Rainbow's n-step emits), so the
+# sharded carries hold cursors with an explicit per-device axis (shape
+# [dp], P("data")) rather than falsely declaring them replicated.  Inside
+# shard_map each device sees its [1]-shaped shard; these helpers convert
+# to/from the scalar the replay ops expect.
+
+def _localize_cursor(replay):
+    from merging_gym_tpu.ops.per import PERState
+    if isinstance(replay, PERState):
+        return replay.replace(base=replay.base.replace(cursor=replay.base.cursor[0]))
+    return replay.replace(cursor=replay.cursor[0])
+
+
+def _globalize_cursor(replay):
+    from merging_gym_tpu.ops.per import PERState
+    if isinstance(replay, PERState):
+        return replay.replace(base=replay.base.replace(cursor=replay.base.cursor[None]))
+    return replay.replace(cursor=replay.cursor[None])
+
+
+def _per_device_cursor(replay, dp: int):
+    """Give a freshly built replay a [dp]-shaped cursor for sharding."""
+    from merging_gym_tpu.ops.per import PERState
+    z = jnp.zeros((dp,), jnp.int32)
+    if isinstance(replay, PERState):
+        return replay.replace(base=replay.base.replace(cursor=z))
+    return replay.replace(cursor=z)
+
+
+# ---------------------------------------------------------------------------
 # Tensor-parallel Q-net
 # ---------------------------------------------------------------------------
 
@@ -155,7 +188,7 @@ def _device_train_step(cfg: D.DQNConfig, env_params: EnvParams,
     ep_reward = carry.ep_reward + jnp.where(store_mask, ts.rewards[:, 0], 0.0)
     m = carry.metrics
     done_i = ts.done.astype(m.episodes.dtype)
-    won = ts.done & (ts.obs[:, 8] > ts.obs[:, 3])
+    won = ts.done & (obs[:, 8] > obs[:, 3])  # pre-final-step obs (main.py:225)
     inc = D.Metrics(
         env_steps=jnp.asarray(n, m.env_steps.dtype),
         episodes=jnp.sum(done_i),
@@ -204,7 +237,7 @@ def carry_pspecs(cfg: D.DQNConfig, carry: D.TrainCarry):
         opp_params=qnet_pspecs(carry.opp_params),
         replay=rp.ReplayState(
             data=jax.tree.map(lambda _: batched, carry.replay.data),
-            cursor=P(),
+            cursor=P("data"),
         ),
         key=P(),
         metrics=jax.tree.map(lambda _: P(), carry.metrics),
@@ -222,8 +255,10 @@ def spmd_train_init(key, cfg: D.DQNConfig, env_params: EnvParams,
     dp = mesh.shape["data"]
     assert num_envs % dp == 0, (num_envs, dp)
     carry = D.train_init(key, cfg, env_params, num_envs, opp_params)
-    # Scale the replay to per-device capacity x dp so specs divide evenly.
-    replay = rp.replay_init(cfg.memory_capacity * dp, D.transition_example(cfg))
+    # Scale the replay to per-device capacity x dp so specs divide evenly;
+    # the cursor gets an explicit per-device axis (see _per_device_cursor).
+    replay = _per_device_cursor(
+        rp.replay_init(cfg.memory_capacity * dp, D.transition_example(cfg)), dp)
     carry = carry.replace(replay=replay)
     specs = carry_pspecs(cfg, carry)
     shardings = jax.tree.map(
@@ -241,12 +276,14 @@ def _spmd_chunk(cfg, env_params, carry, num_steps, mesh):
         # deterministically so every device returns the same one.
         shared_key = carry.key
         idx = jax.lax.axis_index("data")
-        carry = carry.replace(key=jax.random.fold_in(shared_key, idx))
+        carry = carry.replace(key=jax.random.fold_in(shared_key, idx),
+                              replay=_localize_cursor(carry.replay))
         carry, _ = jax.lax.scan(
             partial(_device_train_step, cfg, env_params), carry,
             None, length=num_steps)
         return carry.replace(
-            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)))
+            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)),
+            replay=_globalize_cursor(carry.replay))
 
     out_specs = carry_pspecs(cfg, carry)
     return jax.shard_map(per_device, mesh=mesh, in_specs=(specs,),
@@ -276,12 +313,12 @@ def rainbow_carry_pspecs(carry):
         replay_specs = PERState(
             base=rp.ReplayState(
                 data=jax.tree.map(lambda _: batched, carry.replay.base.data),
-                cursor=P()),
+                cursor=P("data")),
             priorities=batched, max_priority=P(), alpha=P())
     else:
         replay_specs = rp.ReplayState(
             data=jax.tree.map(lambda _: batched, carry.replay.data),
-            cursor=P())
+            cursor=P("data"))
     return RainbowCarry(
         env_state=jax.tree.map(lambda _: batched, carry.env_state),
         obs=batched, ep_reward=batched,
@@ -319,7 +356,7 @@ def spmd_rainbow_init(key, cfg, env_params: EnvParams, num_envs: int,
     else:
         replay = rp.replay_init(cfg.memory_capacity * dp,
                                 D.transition_example(D.DQNConfig()))
-    carry = carry.replace(replay=replay)
+    carry = carry.replace(replay=_per_device_cursor(replay, dp))
     specs = rainbow_carry_pspecs(carry)
     shardings = jax.tree.map(
         lambda s: jax.sharding.NamedSharding(mesh, s), specs,
@@ -336,12 +373,14 @@ def _spmd_rainbow_chunk(cfg, env_params, carry, num_steps, mesh):
     def per_device(carry):
         shared_key = carry.key
         idx = jax.lax.axis_index("data")
-        carry = carry.replace(key=jax.random.fold_in(shared_key, idx))
+        carry = carry.replace(key=jax.random.fold_in(shared_key, idx),
+                              replay=_localize_cursor(carry.replay))
         carry, _ = jax.lax.scan(
             partial(R.rainbow_train_step, cfg, env_params), carry,
             None, length=num_steps)
         return carry.replace(
-            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)))
+            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)),
+            replay=_globalize_cursor(carry.replay))
 
     return jax.shard_map(per_device, mesh=mesh, in_specs=(specs,),
                          out_specs=specs, check_vma=False)(carry)
@@ -364,7 +403,7 @@ def hdqn_carry_pspecs(carry):
     batched = P("data")
     rep = lambda tree: jax.tree.map(lambda _: P(), tree)
     replay_specs = lambda r: rp.ReplayState(
-        data=jax.tree.map(lambda _: batched, r.data), cursor=P())
+        data=jax.tree.map(lambda _: batched, r.data), cursor=P("data"))
     return HDQNCarry(
         env_state=jax.tree.map(lambda _: batched, carry.env_state),
         obs=batched, goal=batched, goal_op=batched,
@@ -389,10 +428,12 @@ def spmd_hdqn_init(key, cfg, env_params: EnvParams, num_envs: int,
     assert cfg.pmean_axis == "data", "set HDQNConfig(pmean_axis='data')"
     carry = H.hdqn_init(key, cfg, env_params, num_envs, opp_upper, opp_lower)
     carry = carry.replace(
-        upper_replay=rp.replay_init(cfg.goal_memory_capacity * dp,
-                                    D.transition_example(cfg.upper_cfg())),
-        lower_replay=rp.replay_init(cfg.memory_capacity * dp,
-                                    D.transition_example(cfg.lower_cfg())),
+        upper_replay=_per_device_cursor(
+            rp.replay_init(cfg.goal_memory_capacity * dp,
+                           D.transition_example(cfg.upper_cfg())), dp),
+        lower_replay=_per_device_cursor(
+            rp.replay_init(cfg.memory_capacity * dp,
+                           D.transition_example(cfg.lower_cfg())), dp),
     )
     specs = hdqn_carry_pspecs(carry)
     shardings = jax.tree.map(
@@ -410,12 +451,17 @@ def _spmd_hdqn_chunk(cfg, env_params, carry, num_steps, mesh):
     def per_device(carry):
         shared_key = carry.key
         idx = jax.lax.axis_index("data")
-        carry = carry.replace(key=jax.random.fold_in(shared_key, idx))
+        carry = carry.replace(
+            key=jax.random.fold_in(shared_key, idx),
+            upper_replay=_localize_cursor(carry.upper_replay),
+            lower_replay=_localize_cursor(carry.lower_replay))
         carry, _ = jax.lax.scan(
             partial(H.hdqn_step, cfg, env_params), carry,
             None, length=num_steps)
         return carry.replace(
-            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)))
+            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)),
+            upper_replay=_globalize_cursor(carry.upper_replay),
+            lower_replay=_globalize_cursor(carry.lower_replay))
 
     return jax.shard_map(per_device, mesh=mesh, in_specs=(specs,),
                          out_specs=specs, check_vma=False)(carry)

@@ -179,8 +179,12 @@ def run_session(opponent: ScriptedOpponent | None = None, episodes: int = 5,
 def load_opponent(mode: str, load_path: str | None = None) -> ScriptedOpponent:
     """Build an opponent, loading reference .pth run dirs when given
     (human_player.py:58-86)."""
-    if mode in ("l0", "pvp") or load_path is None:
+    if mode in ("l0", "pvp"):
         return ScriptedOpponent(mode)
+    if load_path is None:
+        raise ValueError(
+            f"opponent mode {mode!r} needs --load-path (a reference .pth "
+            "run dir); only 'l0' and 'pvp' run without a model")
     from merging_gym_tpu.io import torch_import as ti
 
     if mode == "dqn":

@@ -111,11 +111,15 @@ void merge_step(EnvState* s, const int32_t* a1, const int32_t* a2, int n,
     e.t += 1;
     if (e.t >= TIMEOUT_STEPS) e.done = 1;
 
-    e.acc1 = a1[i] < 0 ? 0.0 : (TARGET_VELS[a1[i]] - e.vel1) / PREDICTION_T;
+    // Clamp to the action table like the jnp env (out-of-range reads
+    // would be UB); negatives mean the "None" constant-velocity arm.
+    const int c1 = a1[i] > 4 ? 4 : a1[i];
+    e.acc1 = a1[i] < 0 ? 0.0 : (TARGET_VELS[c1] - e.vel1) / PREDICTION_T;
     e.vel1 = std::fmax(0.0, e.vel1 + e.acc1 * DT);
     e.pos1 += e.vel1 * DT;
 
-    e.acc2 = a2[i] < 0 ? 0.0 : (TARGET_VELS[a2[i]] - e.vel2) / PREDICTION_T;
+    const int c2 = a2[i] > 4 ? 4 : a2[i];
+    e.acc2 = a2[i] < 0 ? 0.0 : (TARGET_VELS[c2] - e.vel2) / PREDICTION_T;
     e.vel2 = std::fmax(0.0, e.vel2 + e.acc2 * DT);
     e.pos2 += e.vel2 * DT;
 
