@@ -63,6 +63,20 @@ def bench_rollout(num_envs, steps, chunks, collect="full"):
             "env-steps/s")
 
 
+def bench_fused_rollout(num_envs, steps, chunks):
+    from merging_gym_tpu.ops.fused_rollout import fused_rollout
+
+    out = fused_rollout(steps, num_envs, seed=0)
+    float(jnp.sum(out["rewards"]))
+    t0 = time.perf_counter()
+    for i in range(chunks):
+        out = fused_rollout(steps, num_envs, seed=1 + i)
+        float(jnp.sum(out["rewards"]))
+    dt = time.perf_counter() - t0
+    _report(f"fused-rollout-{num_envs}", num_envs * steps * chunks / dt,
+            "env-steps/s")
+
+
 def bench_dqn(num_envs, steps, chunks):
     from merging_gym_tpu.agents import dqn as D
     from merging_gym_tpu.core.env import EnvParams
@@ -164,6 +178,10 @@ def main():
     for collect in ("rewards", "none"):
         bench_rollout(1024 if q else 4096, 256 if q else 1024,
                       2 if q else 4, collect)
+    if jax.default_backend() == "tpu":  # in-kernel PRNG needs real hardware
+        for n in ([4096] if q else [4096, 65536, 262144]):
+            bench_fused_rollout(n, 256 if q else 512 if n <= 65536 else 128,
+                                2 if q else 3)
     bench_dqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     bench_hdqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     bench_rainbow(256 if q else 1024, 100 if q else 200, 2 if q else 5)

@@ -1,0 +1,213 @@
+"""Pallas TPU kernel: the entire vectorized env rollout as ONE kernel.
+
+The lax.scan rollout pays a fixed per-kernel dispatch cost per step
+(docs/BENCHMARKS.md measures ~57us/iteration for even a trivial scan
+body on this runtime).  This kernel removes the per-step dispatch
+entirely: the time axis is the Pallas *grid* -- TPU grid steps execute
+sequentially on the core with output blocks pipelined to HBM -- and the
+env state (positions, velocities, winner machine, step counters) lives
+in VMEM scratch that persists across grid steps.  One kernel launch
+simulates all T steps for all N envs, auto-resets included.
+
+Layouts are lane-aligned: the env axis is last ([T, c, N] trajectories,
+[c, N] state), so N is a multiple of 128.
+
+Two action sources:
+* ``fused_rollout(actions=...)`` -- precomputed i32[T, 2, N] actions
+  (sentinel -1 = the None/L0 arm). Math matches core.env.step exactly
+  (same f32 ops), so this mode is locked against step_batch in tests.
+* ``fused_rollout(seed=...)`` -- uniform random joint actions in
+  [-1, 5) drawn in-kernel from the TPU PRNG (the bench.py policy,
+  distribution-equivalent, no HBM action traffic at all).
+
+Deterministic starts only (the auto-reset writes compile-time
+constants); the XLA path in core.vector handles randomized starts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from merging_gym_tpu.core import constants as C
+
+
+def _lon2coord_xy(lon, side):
+    angle = C.ANGLE0 - lon / C.R
+    x = C.R * jnp.sin(angle)
+    half = 0.5 * angle
+    y = C.W / 2 + side * (2.0 * C.R * jnp.sin(half) * jnp.sin(half))
+    return x, y
+
+
+def _round_half_away(v):
+    return jnp.sign(v) * jnp.floor(jnp.abs(v) + 0.5)
+
+
+def _env_step_math(pos, vel, winner, tcnt, done_prev, actions, rewards_cfg):
+    """One env step on [2, N]-shaped state; mirrors core.env.step."""
+    r_first, r_second, r_collision, vel_penalty, time_penalty = rewards_cfg
+
+    is_null = actions < 0
+    # TARGET_VELS is the arithmetic table {a: 10*a} (merging_env.py:101);
+    # computing it avoids an array constant/gather inside the kernel.
+    tv = 10.0 * jnp.clip(actions, 0, C.NUM_ACTIONS - 1).astype(jnp.float32)
+    acc = jnp.where(is_null, 0.0, (tv - vel) / C.PREDICTION_T)
+    vel = jnp.maximum(0.0, vel + acc * C.DT)
+    pos = pos + vel * C.DT
+
+    tcnt = tcnt + 1
+    done = done_prev | (tcnt >= C.TIMEOUT_STEPS)
+
+    pen = -time_penalty - vel_penalty * jnp.abs(vel - C.V_REF)
+
+    w0 = winner
+    c1 = pos[0] > C.END_POINT
+    r1 = jnp.where(c1,
+                   jnp.where(w0 == 0, pen[0] + r_first,
+                             jnp.where(w0 == 1, 0.0, pen[0] + r_second)),
+                   pen[0])
+    done = done | (c1 & (w0 == 2))
+    w1 = jnp.where(c1 & (w0 == 0), 1, w0)
+
+    c2 = pos[1] >= C.END_POINT
+    r2 = jnp.where(c2,
+                   jnp.where(w1 == 0, pen[1] + r_first,
+                             jnp.where(w1 == 2, 0.0, pen[1] + r_second)),
+                   pen[1])
+    done = done | (c2 & (w1 == 1))
+    w2 = jnp.where(c2 & (w1 == 0), 2, w1)
+
+    x1, y1 = _lon2coord_xy(pos[0], +1.0)
+    x2, y2 = _lon2coord_xy(pos[1], -1.0)
+    col = ((jnp.abs(_round_half_away(x1) - _round_half_away(x2)) <= C.VEHICLE_H)
+           & (jnp.abs(_round_half_away(y1) - _round_half_away(y2)) <= C.VEHICLE_W))
+    done = done | col
+    rewards = jnp.stack([r1, r2]) + jnp.where(col, r_collision, 0.0)
+
+    obs = jnp.stack([
+        x2 - x1, y2 - y1, vel[1] - vel[0], C.END_POINT - pos[0], vel[0],
+        x1 - x2, y1 - y2, vel[0] - vel[1], C.END_POINT - pos[1], vel[1],
+    ])
+    return pos, vel, w2, tcnt, done, col, rewards, obs
+
+
+def _kernel(rewards_ref, seed_ref, actions_ref, obs_ref, rew_ref, done_ref,
+            win_ref, col_ref, pos_s, vel_s, win_s, t_s, *, n, use_prng):
+    # Grid = (env tiles, time): tiles run sequentially, each sweeping all
+    # T steps with the scratch state re-initialised at its first step.
+    i_env = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        pos_s[:] = jnp.full((2, n), C.START_POINT, jnp.float32)
+        vel_s[:] = jnp.full((2, n), C.START_VEL, jnp.float32)
+        win_s[:] = jnp.zeros((1, n), jnp.int32)
+        t_s[:] = jnp.zeros((1, n), jnp.int32)
+
+    if use_prng:
+        pltpu.prng_seed(seed_ref[0] + i * pl.num_programs(0) + i_env)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((2, n)), jnp.uint32)
+        actions = (bits % jnp.uint32(C.NUM_ACTIONS + 1)).astype(jnp.int32) - 1
+    else:
+        actions = actions_ref[0]
+
+    rcfg = tuple(rewards_ref[k] for k in range(5))
+    pos, vel, winner, tcnt, done, col, rewards, obs = _env_step_math(
+        pos_s[:], vel_s[:], win_s[:][0], t_s[:][0],
+        jnp.zeros((n,), bool), actions, rcfg)
+
+    obs_ref[0] = obs
+    rew_ref[0] = rewards
+    done_ref[0] = done.astype(jnp.int32)[None, :]
+    win_ref[0] = winner[None, :]
+    col_ref[0] = col.astype(jnp.int32)[None, :]
+
+    # Auto-reset (deterministic start constants).
+    reset = done[None, :]
+    pos_s[:] = jnp.where(reset, C.START_POINT, pos)
+    vel_s[:] = jnp.where(reset, C.START_VEL, vel)
+    win_s[:] = jnp.where(done, 0, winner)[None, :]
+    t_s[:] = jnp.where(done, 0, tcnt)[None, :]
+
+
+ENV_BLOCK = 8192  # lanes per env tile; bounds VMEM block sizes
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_steps", "num_envs", "use_prng"))
+def _call(rewards_vec, seed, actions, num_steps, num_envs, use_prng):
+    n = min(num_envs, ENV_BLOCK)
+    assert num_envs % n == 0
+    kernel = functools.partial(_kernel, n=n, use_prng=use_prng)
+    grid = (num_envs // n, num_steps)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # rewards cfg [5]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed [1]
+            pl.BlockSpec((1, 2, n), lambda e, i: (i, 0, e),
+                         memory_space=pltpu.VMEM),   # actions
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 10, n), lambda e, i: (i, 0, e), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n), lambda e, i: (i, 0, e), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda e, i: (i, 0, e), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda e, i: (i, 0, e), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda e, i: (i, 0, e), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_steps, 10, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((num_steps, 2, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((num_steps, 1, num_envs), jnp.int32),
+            jax.ShapeDtypeStruct((num_steps, 1, num_envs), jnp.int32),
+            jax.ShapeDtypeStruct((num_steps, 1, num_envs), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, n), jnp.float32),
+            pltpu.VMEM((2, n), jnp.float32),
+            pltpu.VMEM((1, n), jnp.int32),
+            pltpu.VMEM((1, n), jnp.int32),
+        ],
+    )(rewards_vec, seed, actions)
+    obs, rewards, done, winner, col = out
+    return {
+        "obs": obs,                       # f32[T, 10, N]
+        "rewards": rewards,               # f32[T, 2, N]
+        "done": done[:, 0].astype(bool),  # bool[T, N]
+        "winner": winner[:, 0],           # i32[T, N]
+        "collision": col[:, 0].astype(bool),
+    }
+
+
+def fused_rollout(num_steps: int, num_envs: int, actions=None, seed=None,
+                  env_params=None):
+    """Run T lockstep env steps for N envs in one kernel (see module doc).
+
+    Exactly one of ``actions`` (i32[T, 2, N]) or ``seed`` (int) must be
+    given.  ``num_envs`` must be a multiple of 128 (lane width).
+    Returns a dict of [T, ...]-stacked trajectories in env-last layout.
+    """
+    assert num_envs % 128 == 0, "num_envs must be a multiple of 128"
+    assert (actions is None) != (seed is None), "pass actions XOR seed"
+    if env_params is None:
+        from merging_gym_tpu.core.env import EnvParams
+        env_params = EnvParams()
+    assert not env_params.random_start, "fused path: deterministic starts only"
+    rewards_vec = jnp.asarray([
+        env_params.r_first, env_params.r_second, env_params.r_collision,
+        env_params.vel_penalty, env_params.time_penalty], jnp.float32)
+    use_prng = actions is None
+    if use_prng:
+        actions = jnp.zeros((num_steps, 2, num_envs), jnp.int32)
+        seed_arr = jnp.asarray([seed], jnp.int32)
+    else:
+        actions = jnp.asarray(actions, jnp.int32)
+        seed_arr = jnp.zeros((1,), jnp.int32)
+    return _call(rewards_vec, seed_arr, actions, num_steps, num_envs, use_prng)
