@@ -222,6 +222,11 @@ def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
         params = optax.apply_updates(params, updates)
         if cfg.per:
             replay = per_ops.per_update_priorities(replay, idx, ce + 1e-5)
+            if cfg.pmean_axis is not None:
+                # max_priority must stay replicated (new-item priorities
+                # depend on it); take the global max like a single buffer.
+                replay = replay.replace(max_priority=jax.lax.pmax(
+                    replay.max_priority, cfg.pmean_axis))
         return params, opt_state, replay, loss.astype(jnp.float32)
 
     params, opt_state, replay, loss = jax.lax.cond(

@@ -57,18 +57,29 @@ class EpisodeLogger:
 
 
 def dump_batch_trajectories(log_dir: str, traj, tag: str = "batch",
-                            max_episodes: int | None = None) -> list:
+                            max_episodes: int | None = None,
+                            start_obs=None) -> list:
     """Slice a vectorised rollout (core.vector.rollout output) into
     reference-format per-episode CSVs.
 
     ``traj`` carries stacked TimeSteps f[T, N, ...]; episode boundaries
-    are the ``done`` flags.  Returns the written paths.
+    are the ``done`` flags.  Reference rows hold the *pre-step*
+    observation (human_player.py:181 writes ``state``, i.e. the obs the
+    action was chosen from), so row k uses ``traj.obs[k-1]``; the first
+    row of each episode uses the reset observation (``start_obs``,
+    defaulting to the deterministic start -- pass per-episode values for
+    randomised starts).  The L0 sentinel action (-1) is written as the
+    empty cell the reference produces for ``None``.  Returns the written
+    paths.
     """
     obs = np.asarray(traj.obs)
     rewards = np.asarray(traj.rewards)
     done = np.asarray(traj.done)
     winner = np.asarray(traj.winner)
     actions = np.asarray(traj.actions)
+    if start_obs is None:
+        from merging_gym_tpu.core.env import EnvParams, observe, reset
+        start_obs = np.asarray(observe(reset(EnvParams())))
     T, N = done.shape
     paths = []
     count = 0
@@ -80,12 +91,11 @@ def dump_batch_trajectories(log_dir: str, traj, tag: str = "batch",
                     return paths
                 logger = EpisodeLogger(log_dir, count, tag)
                 for k in range(start, t + 1):
-                    # Reference gating checks env.winner AFTER the step
-                    # (human_player.py:180-181): the ego-winning row is
-                    # suppressed.
-                    logger.log_step(obs[k, env_i],
+                    pre_obs = start_obs if k == start else obs[k - 1, env_i]
+                    a2 = int(actions[k, env_i, 1])
+                    logger.log_step(pre_obs,
                                     int(actions[k, env_i, 0]),
-                                    int(actions[k, env_i, 1]),
+                                    None if a2 < 0 else a2,
                                     rewards[k, env_i],
                                     int(winner[k, env_i]))
                 logger.close()

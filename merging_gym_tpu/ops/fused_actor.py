@@ -32,8 +32,9 @@ def _phi(x: float) -> float:
 
 def _actor_kernel(seed_ref, x_ref, w0_ref, b0_ref, w1_ref, b1_ref,
                   w2_ref, b2_ref, out_ref, *, p_greedy, num_actions):
-    # Per-tile seed: otherwise every batch tile would draw identical bits.
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # Collision-free per-tile seeding: seed*num_tiles + tile, so stepping
+    # the caller's seed by 1 never reuses an adjacent tile's stream.
+    pltpu.prng_seed(seed_ref[0] * pl.num_programs(0) + pl.program_id(0))
     x = x_ref[:]
     h = jnp.dot(x, w0_ref[:], preferred_element_type=jnp.float32)
     h = jnp.maximum(h + b0_ref[:], 0.0)

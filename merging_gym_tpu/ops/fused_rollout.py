@@ -34,21 +34,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from merging_gym_tpu.core import constants as C
+from merging_gym_tpu.core.geometry import lon2coord, round_half_away
 
 
-def _lon2coord_xy(lon, side):
-    angle = C.ANGLE0 - lon / C.R
-    x = C.R * jnp.sin(angle)
-    half = 0.5 * angle
-    y = C.W / 2 + side * (2.0 * C.R * jnp.sin(half) * jnp.sin(half))
-    return x, y
-
-
-def _round_half_away(v):
-    return jnp.sign(v) * jnp.floor(jnp.abs(v) + 0.5)
-
-
-def _env_step_math(pos, vel, winner, tcnt, done_prev, actions, rewards_cfg):
+def _env_step_math(pos, vel, winner, tcnt, done_prev, actions, rewards_cfg,
+                   max_steps):
     """One env step on [2, N]-shaped state; mirrors core.env.step."""
     r_first, r_second, r_collision, vel_penalty, time_penalty = rewards_cfg
 
@@ -61,7 +51,7 @@ def _env_step_math(pos, vel, winner, tcnt, done_prev, actions, rewards_cfg):
     pos = pos + vel * C.DT
 
     tcnt = tcnt + 1
-    done = done_prev | (tcnt >= C.TIMEOUT_STEPS)
+    done = done_prev | (tcnt >= max_steps)
 
     pen = -time_penalty - vel_penalty * jnp.abs(vel - C.V_REF)
 
@@ -82,10 +72,10 @@ def _env_step_math(pos, vel, winner, tcnt, done_prev, actions, rewards_cfg):
     done = done | (c2 & (w1 == 1))
     w2 = jnp.where(c2 & (w1 == 0), 2, w1)
 
-    x1, y1 = _lon2coord_xy(pos[0], +1.0)
-    x2, y2 = _lon2coord_xy(pos[1], -1.0)
-    col = ((jnp.abs(_round_half_away(x1) - _round_half_away(x2)) <= C.VEHICLE_H)
-           & (jnp.abs(_round_half_away(y1) - _round_half_away(y2)) <= C.VEHICLE_W))
+    x1, y1 = lon2coord(pos[0], +1.0)
+    x2, y2 = lon2coord(pos[1], -1.0)
+    col = ((jnp.abs(round_half_away(x1) - round_half_away(x2)) <= C.VEHICLE_H)
+           & (jnp.abs(round_half_away(y1) - round_half_away(y2)) <= C.VEHICLE_W))
     done = done | col
     rewards = jnp.stack([r1, r2]) + jnp.where(col, r_collision, 0.0)
 
@@ -120,7 +110,7 @@ def _kernel(rewards_ref, seed_ref, actions_ref, obs_ref, rew_ref, done_ref,
     rcfg = tuple(rewards_ref[k] for k in range(5))
     pos, vel, winner, tcnt, done, col, rewards, obs = _env_step_math(
         pos_s[:], vel_s[:], win_s[:][0], t_s[:][0],
-        jnp.zeros((n,), bool), actions, rcfg)
+        jnp.zeros((n,), bool), actions, rcfg, seed_ref[1])
 
     obs_ref[0] = obs
     rew_ref[0] = rewards
@@ -191,10 +181,13 @@ def fused_rollout(num_steps: int, num_envs: int, actions=None, seed=None,
     """Run T lockstep env steps for N envs in one kernel (see module doc).
 
     Exactly one of ``actions`` (i32[T, 2, N]) or ``seed`` (int) must be
-    given.  ``num_envs`` must be a multiple of 128 (lane width).
+    given.  ``num_envs`` must be a multiple of 128 (lane width) and, above
+    ENV_BLOCK (8192), a multiple of ENV_BLOCK (the env-tile size).
     Returns a dict of [T, ...]-stacked trajectories in env-last layout.
     """
     assert num_envs % 128 == 0, "num_envs must be a multiple of 128"
+    assert num_envs % min(num_envs, ENV_BLOCK) == 0, (
+        f"num_envs above {ENV_BLOCK} must be a multiple of {ENV_BLOCK}")
     assert (actions is None) != (seed is None), "pass actions XOR seed"
     if env_params is None:
         from merging_gym_tpu.core.env import EnvParams
@@ -206,8 +199,8 @@ def fused_rollout(num_steps: int, num_envs: int, actions=None, seed=None,
     use_prng = actions is None
     if use_prng:
         actions = jnp.zeros((num_steps, 2, num_envs), jnp.int32)
-        seed_arr = jnp.asarray([seed], jnp.int32)
+        seed_arr = jnp.asarray([seed, env_params.max_steps], jnp.int32)
     else:
         actions = jnp.asarray(actions, jnp.int32)
-        seed_arr = jnp.zeros((1,), jnp.int32)
+        seed_arr = jnp.asarray([0, env_params.max_steps], jnp.int32)
     return _call(rewards_vec, seed_arr, actions, num_steps, num_envs, use_prng)

@@ -80,3 +80,16 @@ def test_fused_reward_params_respected():
     ra = float(np.asarray(out_a["rewards"]).min())
     rb = float(np.asarray(out_b["rewards"]).min())
     assert ra > -20 and rb < -90
+
+
+def test_fused_honors_max_steps():
+    T, N = 130, 128
+    actions = np.zeros((T, 2, N), np.int32)  # both brake: only timeout ends
+    out = FR.fused_rollout(T, N, actions=actions,
+                           env_params=EnvParams(max_steps=100))
+    done = np.asarray(out["done"])
+    assert int(done[:, 0].argmax()) == 99      # cap at step 100 (0-indexed)
+    assert done[99].all()
+    # default cap unaffected
+    out2 = FR.fused_rollout(T, N, actions=actions)
+    assert not np.asarray(out2["done"]).any()

@@ -119,3 +119,41 @@ def test_trajectory_csv_schema(tmp_path):
     assert rows[0].split(",")[0] == '"x2 - x1"' or rows[0].startswith("x2 - x1")
     assert len(rows) == 3  # header + 2 rows (third suppressed)
     assert len(HEADER) == 14
+
+
+def test_dump_batch_trajectories_reference_row_semantics(tmp_path):
+    """Rows hold the PRE-step obs (human_player.py:181 logs `state`), the
+    first row is the reset observation, ego-winning rows are suppressed,
+    and the L0 sentinel becomes an empty action2 cell."""
+    import jax
+    import jax.numpy as jnp
+
+    from merging_gym_tpu.core import constants as Cc
+    from merging_gym_tpu.core.env import EnvParams, observe, reset
+    from merging_gym_tpu.core.vector import reset_batch, rollout
+    from merging_gym_tpu.io.trajectory import dump_batch_trajectories, make_log_dir
+
+    params = EnvParams()
+
+    def policy(ps, obs, key):
+        a = jnp.stack([jnp.full((obs.shape[0],), 4, jnp.int32),
+                       jnp.full((obs.shape[0],), Cc.ACTION_NONE, jnp.int32)], -1)
+        return ps, a
+
+    state = reset_batch(params, jax.random.key(0), 2)
+    (_, _), traj = jax.jit(
+        lambda s, k: rollout(params, s, policy, None, k, 300))(
+            state, jax.random.key(1))
+    d = make_log_dir(str(tmp_path / "log"))
+    paths = dump_batch_trajectories(d, traj, max_episodes=1)
+    assert len(paths) == 1
+    rows = open(paths[0]).read().strip().splitlines()
+    start_obs = np.asarray(observe(reset(params)))
+    first = rows[1].split(",")
+    np.testing.assert_allclose([float(v) for v in first[:10]], start_obs,
+                               rtol=1e-5)
+    assert first[10] == "4" and first[11] == ""  # L0 -> empty cell
+    # Once the ego wins (winner==1 rows suppressed), row count is shorter
+    # than the episode length.
+    T = np.asarray(traj.done)[:, 0].argmax() + 1
+    assert len(rows) - 1 < int(T)
