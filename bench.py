@@ -12,42 +12,51 @@ reduction over the produced rewards, so the device cannot run ahead of
 the clock (``block_until_ready`` alone proved unreliable on tunneled
 runtimes).  The reported value is the median of several repetitions.
 
+Robustness: the tunneled TPU of this environment can wedge (a stranded
+remote chip grant hangs all execution indefinitely), so the measurement
+runs in a subprocess under a watchdog; if it hangs or dies, the bench
+falls back to the CPU backend and says so in the metric name rather than
+hanging the caller.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import statistics
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-
-from merging_gym_tpu.core import constants as C
-from merging_gym_tpu.core.env import EnvParams
-from merging_gym_tpu.core.vector import reset_batch, rollout
 
 NUM_ENVS = 4096
 STEPS_PER_CHUNK = 512
 CHUNKS_PER_REP = 4
 REPS = 5
 REFERENCE_STEPS_PER_SEC = 1e3  # BASELINE.md: implied 1e2-1e3 on CPU
+WATCHDOG_S = 900
 
 
-def policy(ps, obs, key):
-    # Random joint policy incl. the None-action opponent arm.
-    a = jax.random.randint(key, (obs.shape[0], 2), -1, C.NUM_ACTIONS)
-    return ps, a
+def measure(force_cpu: bool) -> float:
+    import jax
 
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
 
-def main():
+    from merging_gym_tpu.core import constants as C
+    from merging_gym_tpu.core.env import EnvParams
+    from merging_gym_tpu.core.vector import reset_batch, rollout
+
+    def policy(ps, obs, key):
+        a = jax.random.randint(key, (obs.shape[0], 2), -1, C.NUM_ACTIONS)
+        return ps, a
+
     params = EnvParams()
     state = reset_batch(params, jax.random.key(0), NUM_ENVS)
-
-    run = jax.jit(lambda s, k: rollout(params, s, policy, None, k, STEPS_PER_CHUNK))
-
-    # Warmup / compile, with a forced sync.
+    run = jax.jit(lambda s, k: rollout(params, s, policy, None, k,
+                                       STEPS_PER_CHUNK))
     (state, _), traj = run(state, jax.random.key(1))
-    float(jnp.sum(traj.rewards))
+    float(jnp.sum(traj.rewards))  # warmup + forced sync
 
     rates = []
     key_i = 2
@@ -59,13 +68,42 @@ def main():
             float(jnp.sum(traj.rewards))  # forced readback fence
         dt = time.perf_counter() - t0
         rates.append(NUM_ENVS * STEPS_PER_CHUNK * CHUNKS_PER_REP / dt)
+    return statistics.median(rates)
 
-    steps_per_sec = statistics.median(rates)
+
+def main():
+    if os.environ.get("_BENCH_CHILD"):
+        value = measure(force_cpu=os.environ["_BENCH_CHILD"] == "cpu")
+        print(json.dumps({"value": value}))
+        return
+
+    for backend in ("tpu", "cpu"):
+        env = dict(os.environ)
+        env["_BENCH_CHILD"] = backend
+        try:
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 timeout=WATCHDOG_S)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith('{"value"')]
+            if out.returncode == 0 and line:
+                value = json.loads(line[-1])["value"]
+                suffix = "" if backend == "tpu" else "_CPU_FALLBACK_tpu_wedged"
+                print(json.dumps({
+                    "metric": f"env_steps_per_sec_1chip_4096envs{suffix}",
+                    "value": round(value, 1),
+                    "unit": "env-steps/s",
+                    "vs_baseline": round(value / REFERENCE_STEPS_PER_SEC, 1),
+                }))
+                return
+            sys.stderr.write(f"bench child ({backend}) failed:\n"
+                             f"{out.stderr[-1500:]}\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench child ({backend}) hit the "
+                             f"{WATCHDOG_S}s watchdog (wedged device?)\n")
     print(json.dumps({
-        "metric": "env_steps_per_sec_1chip_4096envs",
-        "value": round(steps_per_sec, 1),
-        "unit": "env-steps/s",
-        "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 1),
+        "metric": "env_steps_per_sec_1chip_4096envs_FAILED",
+        "value": 0.0, "unit": "env-steps/s", "vs_baseline": 0.0,
     }))
 
 
