@@ -61,6 +61,9 @@ def _train_args(p):
     p.add_argument("--resume", default=None,
                    help="run dir to resume from (restores the full orbax "
                         "train state: params, optimizer, replay, envs, RNG)")
+    p.add_argument("--plot-every", type=int, default=0,
+                   help="regenerate curves.png every N chunks (the live "
+                        "matplotlib panel analog, main.py:176-235)")
 
 
 def _load_frozen_qnet(path):
@@ -178,6 +181,12 @@ def cmd_train(args):
         scalars["env_steps_per_sec"] = scalars["env_steps"] / (time.time() - t0)
         writer.log(chunk, scalars)
         print(f"chunk {chunk}: {json.dumps(scalars)}", flush=True)
+        if args.plot_every and (chunk + 1) % args.plot_every == 0:
+            try:
+                from merging_gym_tpu.io.analysis import plot_training_curves
+                plot_training_curves(out)
+            except Exception:
+                pass
         if ckpt and (chunk + 1) % args.checkpoint_every == 0:
             ckpt.save(chunk, carry)
         if scalars["episodes"] >= args.episodes:
