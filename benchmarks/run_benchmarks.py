@@ -6,6 +6,9 @@ tunneled runtimes -- the device can run ahead of the clock).
 Covers the BASELINE.json configs that fit on one chip:
 
   rollout-<n>      vectorized env throughput at n envs, random policies
+  fused-rollout-<n>        single-kernel Pallas rollout (random policy)
+  fused-policy-rollout-<n> single-kernel rollout with the Q-net MLP
+                           policies computed in-kernel (eval path)
   dqn-train        fused actor+replay+learner throughput (config 3)
   hdqn-train       hierarchical two-net trainer (config 4, 1-chip slice)
   rainbow-train    Rainbow with PER + 3-step (config 5, 1-chip slice)
@@ -75,6 +78,31 @@ def bench_fused_rollout(num_envs, steps, chunks):
     dt = time.perf_counter() - t0
     _report(f"fused-rollout-{num_envs}", num_envs * steps * chunks / dt,
             "env-steps/s")
+
+
+def bench_fused_policy_rollout(num_envs, steps, chunks, selfplay, greedy):
+    from merging_gym_tpu.core import constants as C
+    from merging_gym_tpu.nn.mlp import qnet_init
+    from merging_gym_tpu.ops.fused_policy_rollout import fused_policy_rollout
+
+    params = qnet_init(jax.random.key(0), C.OBS_DIM, C.NUM_ACTIONS)
+    params = jax.tree.map(lambda w: (w - jnp.mean(w)) * 0.05, params)
+    p2 = params if selfplay else None
+
+    def run(seed):
+        out = fused_policy_rollout(steps, num_envs, params, p2,
+                                   greedy=greedy, seed=seed)
+        return float(jnp.sum(out["rewards"]))
+
+    run(0)
+    t0 = time.perf_counter()
+    for i in range(chunks):
+        run(1 + i)
+    dt = time.perf_counter() - t0
+    tag = "selfplay" if selfplay else "l0"
+    tag += "-greedy" if greedy else "-eps"
+    _report(f"fused-policy-rollout-{num_envs}-{tag}",
+            num_envs * steps * chunks / dt, "env-steps/s")
 
 
 def bench_dqn(num_envs, steps, chunks):
@@ -182,6 +210,15 @@ def main():
         for n in ([4096] if q else [4096, 65536, 262144]):
             bench_fused_rollout(n, 256 if q else 512 if n <= 65536 else 128,
                                 2 if q else 3)
+        for n in ([4096] if q else [4096, 65536, 262144]):
+            bench_fused_policy_rollout(
+                n, 256 if q else 512 if n <= 65536 else 256, 2 if q else 3,
+                selfplay=True, greedy=True)
+        if not q:
+            bench_fused_policy_rollout(65536, 512, 3, selfplay=True,
+                                       greedy=False)
+            bench_fused_policy_rollout(65536, 512, 3, selfplay=False,
+                                       greedy=True)
     bench_dqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     bench_hdqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     bench_rainbow(256 if q else 1024, 100 if q else 200, 2 if q else 5)

@@ -255,11 +255,21 @@ def _policy_from_spec(spec: str):
 
 def cmd_eval(args):
     import jax
-    from merging_gym_tpu.agents.evaluate import evaluate
+    from merging_gym_tpu.agents.evaluate import evaluate, evaluate_fused
 
-    result = evaluate(_policy_from_spec(args.p1), _policy_from_spec(args.p2),
-                      _env_params(args), jax.random.key(args.seed),
-                      num_envs=args.num_envs, min_episodes=args.episodes)
+    if args.fused:
+        def params_or_none(spec):
+            return None if spec == "l0" else _load_frozen_qnet(spec)
+        if args.p1 == "l0":
+            raise SystemExit("--fused needs a Q-net as --p1 (l0 only as --p2)")
+        result = evaluate_fused(
+            params_or_none(args.p1), params_or_none(args.p2),
+            _env_params(args), num_envs=max(args.num_envs, 128),
+            greedy=False, seed=args.seed)
+    else:
+        result = evaluate(_policy_from_spec(args.p1), _policy_from_spec(args.p2),
+                          _env_params(args), jax.random.key(args.seed),
+                          num_envs=args.num_envs, min_episodes=args.episodes)
     print(json.dumps(result, indent=2))
 
 
@@ -299,6 +309,9 @@ def main(argv=None):
     pe.add_argument("--episodes", type=int, default=512)
     pe.add_argument("--num-envs", type=int, default=256)
     pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--fused", action="store_true",
+                    help="run the match as ONE Pallas kernel (Q-net policies "
+                         "in-kernel, Phi(0.7)-greedy; TPU only)")
     pe.set_defaults(fn=cmd_eval)
 
     args = p.parse_args(argv)

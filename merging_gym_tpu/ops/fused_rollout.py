@@ -83,7 +83,8 @@ def _env_step_math(pos, vel, winner, tcnt, done_prev, actions, rewards_cfg,
         x2 - x1, y2 - y1, vel[1] - vel[0], C.END_POINT - pos[0], vel[0],
         x1 - x2, y1 - y2, vel[0] - vel[1], C.END_POINT - pos[1], vel[1],
     ])
-    return pos, vel, w2, tcnt, done, col, rewards, obs
+    coords = jnp.stack([x1, y1, x2, y2])
+    return pos, vel, w2, tcnt, done, col, rewards, obs, coords
 
 
 def _kernel(rewards_ref, seed_ref, actions_ref, obs_ref, rew_ref, done_ref,
@@ -108,7 +109,7 @@ def _kernel(rewards_ref, seed_ref, actions_ref, obs_ref, rew_ref, done_ref,
         actions = actions_ref[0]
 
     rcfg = tuple(rewards_ref[k] for k in range(5))
-    pos, vel, winner, tcnt, done, col, rewards, obs = _env_step_math(
+    pos, vel, winner, tcnt, done, col, rewards, obs, _ = _env_step_math(
         pos_s[:], vel_s[:], win_s[:][0], t_s[:][0],
         jnp.zeros((n,), bool), actions, rcfg, seed_ref[1])
 
