@@ -63,6 +63,13 @@ class DQNConfig:
     mask_terminal: bool = struct.field(pytree_node=False, default=False)
     opponent: str = struct.field(pytree_node=False, default=OPP_L0)
     learns_per_step: int = struct.field(pytree_node=False, default=1)
+    # Corrected-mode switch for the reference's replay quirk pair
+    # (main.py:130,213-214): sample uniform over filled slots only AND
+    # open the learn gate at one batch stored instead of buffer-full.
+    # (The faithful full-buffer gate makes with-replacement-over-capacity
+    # indistinguishable from valid-only sampling -- every slot is filled
+    # by the time it opens -- so the corrected mode changes both.)
+    sample_valid: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -234,12 +241,15 @@ def train_step(cfg: DQNConfig, env_params: EnvParams, carry: TrainCarry, _):
     # Learner: fires only once the ring has filled (main.py:213-214).
     def do_learn(dqn):
         def one(dqn, k):
-            batch, _ = rp.sample(replay, k, cfg.batch_size)
+            draw = rp.sample_valid if cfg.sample_valid else rp.sample
+            batch, _ = draw(replay, k, cfg.batch_size)
             return learn(dqn, batch, cfg), None
         dqn, _ = jax.lax.scan(one, dqn, jax.random.split(k_sample, cfg.learns_per_step))
         return dqn
 
-    dqn = jax.lax.cond(rp.can_learn(replay), do_learn, lambda d: d, carry.dqn)
+    gate = (rp.can_learn_valid(replay, cfg.batch_size) if cfg.sample_valid
+            else rp.can_learn(replay))
+    dqn = jax.lax.cond(gate, do_learn, lambda d: d, carry.dqn)
 
     # Metrics at episode boundaries.
     ep_reward = carry.ep_reward + jnp.where(store_mask, ts.rewards[:, 0], 0.0)

@@ -85,15 +85,22 @@ def _kernel(cfg_ref, rewards_ref,
     i_env = pl.program_id(0)
     i = pl.program_id(1)
 
+    # Reset coordinates: trig on compile-time constants, which Mosaic
+    # folds.  (Materialising a [4, n] constant block per step instead
+    # measured 1.7x SLOWER end-to-end -- keep the foldable form.)
+    def start_coords():
+        sp = jnp.full((n,), C.START_POINT, jnp.float32)
+        x1, y1 = lon2coord(sp, +1.0)
+        x2, y2 = lon2coord(sp, -1.0)
+        return jnp.stack([x1, y1, x2, y2])
+
     @pl.when(i == 0)
     def _():
         pos_s[:] = jnp.full((2, n), C.START_POINT, jnp.float32)
         vel_s[:] = jnp.full((2, n), C.START_VEL, jnp.float32)
         win_s[:] = jnp.zeros((1, n), jnp.int32)
         t_s[:] = jnp.zeros((1, n), jnp.int32)
-        x1, y1 = lon2coord(jnp.full((n,), C.START_POINT, jnp.float32), +1.0)
-        x2, y2 = lon2coord(jnp.full((n,), C.START_POINT, jnp.float32), -1.0)
-        xy_s[:] = jnp.stack([x1, y1, x2, y2])
+        xy_s[:] = start_coords()
 
     if not greedy:
         pltpu.prng_seed(cfg_ref[0] + i * pl.num_programs(0) + i_env)
@@ -139,9 +146,7 @@ def _kernel(cfg_ref, rewards_ref,
     vel_s[:] = jnp.where(reset, C.START_VEL, vel)
     win_s[:] = jnp.where(done, 0, winner)[None, :]
     t_s[:] = jnp.where(done, 0, tcnt)[None, :]
-    x1r, y1r = lon2coord(jnp.full((n,), C.START_POINT, jnp.float32), +1.0)
-    x2r, y2r = lon2coord(jnp.full((n,), C.START_POINT, jnp.float32), -1.0)
-    xy_s[:] = jnp.where(reset, jnp.stack([x1r, y1r, x2r, y2r]), coords)
+    xy_s[:] = jnp.where(reset, start_coords(), coords)
 
 
 @functools.partial(

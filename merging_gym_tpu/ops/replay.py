@@ -71,6 +71,16 @@ def can_learn(state: ReplayState) -> jax.Array:
     return state.cursor >= replay_capacity(state)
 
 
+def can_learn_valid(state: ReplayState, batch_size: int) -> jax.Array:
+    """Corrected-mode gate: learn as soon as one batch is storable.
+
+    Note the faithful gate above makes ``sample`` vs ``sample_valid``
+    indistinguishable once it opens (every slot is filled by then); the
+    with-replacement-over-capacity quirk only has teeth combined with
+    this earlier start."""
+    return state.cursor >= batch_size
+
+
 def sample(state: ReplayState, key: jax.Array, batch_size: int):
     """Uniform with replacement over the full capacity (main.py:130)."""
     idx = jax.random.randint(key, (batch_size,), 0, replay_capacity(state))

@@ -93,6 +93,24 @@ def test_end_to_end_training_chunk():
     assert not bool(jnp.isnan(q).any())
 
 
+def test_sample_valid_corrected_mode():
+    # Corrected replay mode (main.py:130,213-214 quirk pair): draws come
+    # from filled slots only and learning starts at one stored batch,
+    # not at buffer-full.  16 steps x 32 envs = 512 stores << 8192
+    # capacity: the faithful gate stays shut, the corrected one opens.
+    env_params = EnvParams()
+    for sample_valid, expect_learns in ((False, 0), (True, 1)):
+        cfg = D.DQNConfig(memory_capacity=8192, batch_size=32,
+                          opponent=D.OPP_L0, sample_valid=sample_valid)
+        carry = D.train_init(jax.random.key(3), cfg, env_params, num_envs=32)
+        carry = D.train_chunk(cfg, env_params, carry, 16)
+        if expect_learns:
+            assert int(carry.dqn.learn_counter) > 0
+            assert not bool(jnp.isnan(carry.dqn.last_loss))
+        else:
+            assert int(carry.dqn.learn_counter) == 0
+
+
 def test_selfplay_and_frozen_modes_compile():
     env_params = EnvParams()
     for mode in (D.OPP_SELFPLAY, D.OPP_FROZEN):
