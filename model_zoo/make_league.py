@@ -1,0 +1,60 @@
+"""Rebuild model_zoo/league.json: round-robin over L0 + every zoo entry.
+
+All matchups are played under the reference's Phi(0.7)-greedy actor
+(human_player.py:158 -> main.py:99-112) -- pure-greedy from the
+deterministic start would collapse every env to one trajectory.
+
+    python model_zoo/make_league.py [--num-envs 256] [--episodes 512]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+ZOO = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-envs", type=int, default=256)
+    ap.add_argument("--episodes", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from merging_gym_tpu.agents.evaluate import round_robin
+    from merging_gym_tpu.agents.policies import l0_policy, q_policy
+    from merging_gym_tpu.core.env import EnvParams
+    from merging_gym_tpu.io.checkpoint import load_params_npz
+    from merging_gym_tpu.nn.mlp import qnet_apply, qnet_init
+
+    like = qnet_init(jax.random.key(0), 10, 5)
+    policies = {"L0": l0_policy()}
+    for name in sorted(os.listdir(ZOO)):
+        npz = os.path.join(ZOO, name, "params.npz")
+        if os.path.isdir(os.path.join(ZOO, name)) and os.path.exists(npz):
+            params = load_params_npz(npz, like)
+            policies[name] = q_policy(qnet_apply, params, greedy=False)
+    print("league over:", ", ".join(policies))
+
+    results = round_robin(policies, EnvParams(), jax.random.key(args.seed),
+                          num_envs=args.num_envs, min_episodes=args.episodes)
+    rounded = {
+        k: {m: (round(v, 3) if isinstance(v, float) else v)
+            for m, v in r.items()
+            if m in ("p1_first_rate", "p2_first_rate", "collision_rate",
+                     "timeout_rate", "mean_return_p1", "mean_return_p2")}
+        for k, r in results.items()
+    }
+    out = os.path.join(ZOO, "league.json")
+    with open(out, "w") as f:
+        json.dump(rounded, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
