@@ -41,7 +41,7 @@ from merging_gym_tpu.core import constants as C
 from merging_gym_tpu.core.geometry import lon2coord
 from merging_gym_tpu.ops.fused_rollout import _env_step_math
 
-ENV_BLOCK = 2048  # smaller than fused_rollout's: [200, n] activations in VMEM
+ENV_BLOCK = 4096  # sweep-tuned (docs/BENCHMARKS.md); [200, n] activations in VMEM
 
 
 def _phi(x: float) -> float:
