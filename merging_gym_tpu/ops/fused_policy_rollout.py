@@ -24,7 +24,11 @@ transposed -- q = W2t @ relu(W1t @ relu(W0t @ obs + b0) + b1) + b2 with
 throughout.  Post-step vehicle coordinates are cached in VMEM scratch so
 each step pays the lane trig (4 transcendentals) once, not twice.
 
-Deterministic starts only, like the other fused path.
+Randomised starts (``EnvParams.random_start``) are supported in-kernel:
+reset candidates are drawn each step from the on-chip PRNG (Box-Muller
+normals for player 1, uniforms for player 2, matching core.env.reset's
+distributions) -- a static flag, zero cost when off.  TPU only, like
+the Phi(eps)-greedy mode.
 """
 
 from __future__ import annotations
@@ -81,32 +85,59 @@ def _kernel(cfg_ref, rewards_ref,
             w20, b20, w21, b21, w22, b22,
             act_ref, rew_ref, done_ref, win_ref, col_ref,
             pos_s, vel_s, xy_s, win_s, t_s,
-            *, n, p2_mlp, greedy, p_greedy, num_actions):
+            *, n, p2_mlp, greedy, p_greedy, num_actions, random_start):
     i_env = pl.program_id(0)
     i = pl.program_id(1)
 
-    # Reset coordinates: trig on compile-time constants, which Mosaic
-    # folds.  (Materialising a [4, n] constant block per step instead
-    # measured 1.7x SLOWER end-to-end -- keep the foldable form.)
-    def start_coords():
-        sp = jnp.full((n,), C.START_POINT, jnp.float32)
-        x1, y1 = lon2coord(sp, +1.0)
-        x2, y2 = lon2coord(sp, -1.0)
-        return jnp.stack([x1, y1, x2, y2])
-
-    @pl.when(i == 0)
-    def _():
-        pos_s[:] = jnp.full((2, n), C.START_POINT, jnp.float32)
-        vel_s[:] = jnp.full((2, n), C.START_VEL, jnp.float32)
-        win_s[:] = jnp.zeros((1, n), jnp.int32)
-        t_s[:] = jnp.zeros((1, n), jnp.int32)
-        xy_s[:] = start_coords()
-
-    if not greedy:
+    if (not greedy) or random_start:
         pltpu.prng_seed(cfg_ref[0] + i * pl.num_programs(0) + i_env)
+    if not greedy:
         bits = pltpu.bitcast(pltpu.prng_random_bits((4, n)), jnp.uint32)
     else:
         bits = None
+
+    if random_start:
+        # The commented-out randomised start mode (merging_env.py:219-221
+        # as realised in core.env.reset): pos1 ~ N(50, 5), vel1 ~ N(20, 3),
+        # pos2 ~ U(50 +- 4), vel2 ~ U(15, 30).  Normals via Box-Muller on
+        # 24-bit uniforms (Mosaic has no u32->f32 cast; 24-bit values fit
+        # int32, which does cast).
+        rs = pltpu.bitcast(pltpu.prng_random_bits((4, n)), jnp.uint32)
+        rs24 = pltpu.bitcast(rs >> 8, jnp.int32)  # 24-bit values, 2D bitcast
+        u = [rs24[j].astype(jnp.float32) * (1.0 / 16777216.0)
+             for j in range(4)]
+        r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[0], 1e-7)))
+        theta = (2.0 * 3.14159265358979) * u[1]
+        z1, z2 = r * jnp.cos(theta), r * jnp.sin(theta)
+        pos_r = jnp.stack([C.START_POINT + 5.0 * z1,
+                           C.START_POINT + (u[2] * C.VEHICLE_H - C.VEHICLE_H / 2)])
+        vel_r = jnp.stack([C.START_VEL + 3.0 * z2,
+                           (C.START_VEL - 5.0) + 15.0 * u[3]])
+        x1r, y1r = lon2coord(pos_r[0], +1.0)
+        x2r, y2r = lon2coord(pos_r[1], -1.0)
+        xy_r = jnp.stack([x1r, y1r, x2r, y2r])
+    else:
+        pos_r = jnp.full((2, n), C.START_POINT, jnp.float32)
+        vel_r = jnp.full((2, n), C.START_VEL, jnp.float32)
+
+        # Reset coordinates: trig on compile-time constants, which Mosaic
+        # folds.  (Materialising a [4, n] constant block per step instead
+        # measured 1.7x SLOWER end-to-end -- keep the foldable form.)
+        def start_coords():
+            sp = jnp.full((n,), C.START_POINT, jnp.float32)
+            x1, y1 = lon2coord(sp, +1.0)
+            x2, y2 = lon2coord(sp, -1.0)
+            return jnp.stack([x1, y1, x2, y2])
+
+        xy_r = start_coords()
+
+    @pl.when(i == 0)
+    def _():
+        pos_s[:] = pos_r
+        vel_s[:] = vel_r
+        win_s[:] = jnp.zeros((1, n), jnp.int32)
+        t_s[:] = jnp.zeros((1, n), jnp.int32)
+        xy_s[:] = xy_r
 
     # Pre-step observation of the CURRENT (post-auto-reset) state, the
     # obs the policy acts on (core.vector.rollout body semantics).
@@ -140,24 +171,25 @@ def _kernel(cfg_ref, rewards_ref,
     win_ref[0] = winner[None, :]
     col_ref[0] = col.astype(jnp.int32)[None, :]
 
-    # Auto-reset (deterministic start constants), coords cache included.
+    # Auto-reset, coords cache included.
     reset = done[None, :]
-    pos_s[:] = jnp.where(reset, C.START_POINT, pos)
-    vel_s[:] = jnp.where(reset, C.START_VEL, vel)
+    pos_s[:] = jnp.where(reset, pos_r, pos)
+    vel_s[:] = jnp.where(reset, vel_r, vel)
     win_s[:] = jnp.where(done, 0, winner)[None, :]
     t_s[:] = jnp.where(done, 0, tcnt)[None, :]
-    xy_s[:] = jnp.where(reset, start_coords(), coords)
+    xy_s[:] = jnp.where(reset, xy_r, coords)
 
 
 @functools.partial(
     jax.jit, static_argnames=("num_steps", "num_envs", "p2_mlp", "greedy",
-                              "p_greedy", "num_actions"))
+                              "p_greedy", "num_actions", "random_start"))
 def _call(cfg, rewards_vec, weights, num_steps, num_envs, p2_mlp, greedy,
-          p_greedy, num_actions):
+          p_greedy, num_actions, random_start):
     n = min(num_envs, ENV_BLOCK)
     assert num_envs % n == 0
     kernel = functools.partial(_kernel, n=n, p2_mlp=p2_mlp, greedy=greedy,
-                               p_greedy=p_greedy, num_actions=num_actions)
+                               p_greedy=p_greedy, num_actions=num_actions,
+                               random_start=random_start)
     grid = (num_envs // n, num_steps)
     full = lambda shape: pl.BlockSpec(shape, lambda e, i: (0, 0),
                                       memory_space=pltpu.VMEM)
@@ -229,7 +261,6 @@ def fused_policy_rollout(num_steps: int, num_envs: int, params1,
     if env_params is None:
         from merging_gym_tpu.core.env import EnvParams
         env_params = EnvParams()
-    assert not env_params.random_start, "fused path: deterministic starts only"
     assert params1["fc0"]["w"].shape[0] == C.OBS_DIM
 
     rewards_vec = jnp.asarray([
@@ -241,4 +272,5 @@ def fused_policy_rollout(num_steps: int, num_envs: int, params1,
         params2 if p2_mlp else params1)  # placeholders ignored when L0
     num_actions = int(params1["fc2"]["w"].shape[1])
     return _call(cfg, rewards_vec, tuple(weights), num_steps, num_envs,
-                 p2_mlp, greedy, _phi(epsilon), num_actions)
+                 p2_mlp, greedy, _phi(epsilon), num_actions,
+                 bool(env_params.random_start))
