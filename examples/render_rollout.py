@@ -11,6 +11,9 @@ on machines with no display (SDL dummy driver).
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
 
