@@ -10,6 +10,8 @@ Covers the BASELINE.json configs that fit on one chip:
   fused-policy-rollout-<n> single-kernel rollout with the Q-net MLP
                            policies computed in-kernel (eval path)
   dqn-train        fused actor+replay+learner throughput (config 3)
+  dqn-train-fused-<n>      the same trainer as ONE Pallas kernel
+                           (ops.fused_trainer; learner batch = n)
   hdqn-train       hierarchical two-net trainer (config 4, 1-chip slice)
   rainbow-train    Rainbow with PER + 3-step (config 5, 1-chip slice)
   native-serial    C++ host core serial env-steps/s (reference-analogous path)
@@ -123,6 +125,28 @@ def bench_dqn(num_envs, steps, chunks):
             learns_per_sec=round(steps * chunks / dt, 1))
 
 
+def bench_dqn_fused(num_envs, steps, chunks):
+    """Single-kernel DQN trainer (ops.fused_trainer): actor + env + ring
+    replay + Double-DQN learner + Adam as ONE pallas_call per chunk.
+    Learner batch = num_envs (one whole-slab sample per step)."""
+    from merging_gym_tpu.agents import dqn as D
+    from merging_gym_tpu.core.env import EnvParams
+    from merging_gym_tpu.ops import fused_trainer as FT
+
+    cfg = D.DQNConfig(memory_capacity=4 * num_envs, opponent=D.OPP_SELFPLAY)
+    env_params = EnvParams()
+    carry = FT.fused_dqn_init(jax.random.key(0), cfg, env_params, num_envs)
+    carry = FT.fused_dqn_chunk(cfg, env_params, carry, steps, seed=0)
+    float(jnp.sum(carry["p"][0]))
+    t0 = time.perf_counter()
+    for k in range(chunks):
+        carry = FT.fused_dqn_chunk(cfg, env_params, carry, steps, seed=1 + k)
+        float(jnp.sum(carry["p"][0])); float(jnp.sum(carry["env"]))
+    dt = time.perf_counter() - t0
+    _report(f"dqn-train-fused-{num_envs}", num_envs * steps * chunks / dt,
+            "env-steps/s", learns_per_sec=round(steps * chunks / dt, 1))
+
+
 def bench_hdqn(num_envs, steps, chunks):
     from merging_gym_tpu.agents import dqn as D
     from merging_gym_tpu.agents import hdqn as H
@@ -220,6 +244,9 @@ def main():
             bench_fused_policy_rollout(65536, 512, 3, selfplay=False,
                                        greedy=True)
     bench_dqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
+    if jax.default_backend() == "tpu":  # in-kernel PRNG needs real hardware
+        for n in ([4096] if q else [4096, 16384]):
+            bench_dqn_fused(n, 256 if q else 512, 2 if q else 5)
     bench_hdqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     bench_rainbow(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     bench_native_serial(20000 if q else 200000)

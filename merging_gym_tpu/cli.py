@@ -64,6 +64,10 @@ def _train_args(p):
     p.add_argument("--plot-every", type=int, default=0,
                    help="regenerate curves.png every N chunks (the live "
                         "matplotlib panel analog, main.py:176-235)")
+    p.add_argument("--fused-kernel", action="store_true",
+                   help="dqn only, TPU only: run the whole trainer as one "
+                        "Pallas kernel (ops.fused_trainer; no --resume/"
+                        "--checkpoint-every, learner batch = num-envs)")
 
 
 def _load_frozen_qnet(path):
@@ -96,6 +100,51 @@ def cmd_train(args):
     writer = MetricsWriter(out)
     ckpt = CheckpointManager(os.path.join(out, "ckpt")) if args.checkpoint_every else None
     key = jax.random.key(args.seed)
+
+    if args.algo == "dqn" and getattr(args, "fused_kernel", False):
+        # Single-kernel trainer (ops.fused_trainer): the whole
+        # actor+env+replay+learner loop as ONE pallas_call per chunk.
+        # TPU-only; see the module docstring for the sampling deviation.
+        from merging_gym_tpu.ops import fused_trainer as FT
+
+        if args.resume or args.checkpoint_every:
+            raise SystemExit("--fused-kernel does not support --resume/"
+                             "--checkpoint-every (orbax state lives in the "
+                             "XLA trainer); drop --fused-kernel to use them")
+        if env_params.random_start:
+            raise SystemExit("--fused-kernel requires deterministic starts")
+        mode = (D.OPP_L0 if args.opponent == "L0"
+                else D.OPP_SELFPLAY if args.opponent == "selfplay"
+                else D.OPP_FROZEN)
+        cfg = D.DQNConfig(
+            opponent=mode,
+            memory_capacity=args.memory_capacity or 4 * args.num_envs,
+            lr=args.lr or 0.01)
+        opp = _load_frozen_qnet(args.opponent) if mode == D.OPP_FROZEN else None
+        carry = FT.fused_dqn_init(key, cfg, env_params, args.num_envs, opp)
+        t0 = time.time()
+        for chunk in range(args.max_chunks):
+            carry = FT.fused_dqn_chunk(cfg, env_params, carry,
+                                       args.chunk_steps, seed=args.seed + chunk)
+            eps = max(carry["episodes"], 1.0)
+            scalars = {
+                "env_steps": carry["env_steps"],
+                "episodes": carry["episodes"],
+                "collision_rate": carry["collisions"] / eps,
+                "win_rate": carry["wins"] / eps,
+                "reward": carry["sum_ep_reward"] / eps,
+                "loss": carry["last_loss"], "learns": carry["learns"],
+                "env_steps_per_sec": carry["env_steps"] / (time.time() - t0),
+            }
+            writer.log(chunk, scalars)
+            print(f"chunk {chunk}: {json.dumps(scalars)}", flush=True)
+            if scalars["episodes"] >= args.episodes:
+                break
+        save_params_npz(os.path.join(out, "params.npz"),
+                        FT.t_to_params(carry["p"]))
+        writer.close()
+        print(f"run saved to {out}")
+        return out
 
     if args.algo == "dqn":
         mode = (D.OPP_L0 if args.opponent == "L0"

@@ -1,0 +1,445 @@
+"""Pallas TPU kernel: the ENTIRE DQN trainer as one kernel.
+
+The XLA trainer (agents.dqn.train_chunk) fuses actor, env, on-device
+replay and learner into one lax.scan, but still pays this runtime's
+per-scan-iteration floor (docs/BENCHMARKS.md: ~60us/iteration) on every
+env step -- and the learner's tiny matmuls (a 22K-param MLP) are pure
+dispatch overhead at that scale.  This kernel removes all of it: T
+training steps run as the Pallas grid, and EVERY component lives in
+on-chip memory across steps --
+
+  * actor: eval-net forward + the reference Phi(0.7)-greedy rule
+    (main.py:105) for ego and (selfplay/frozen) opponent, on-chip PRNG;
+  * env: dynamics, winner state machine, collision, auto-reset
+    (ops.fused_rollout._env_step_math, locked to core.env.step);
+  * replay: an R-round ring of whole [field, n] transition slabs,
+    overwritten ring-style (main.py:117-118);
+  * learner: Double-DQN target with the every-100-learns target sync
+    applied *before* the update (main.py:125-127,143-153), hand-derived
+    backprop through the 3-layer MLP, and a full Adam update
+    (torch.optim.Adam defaults) -- params, target params and both Adam
+    moments all resident on-chip.
+
+Training state (params, target, moments, env state, ring, metrics)
+lives in the kernel's *output* refs, which persist in VMEM across grid
+steps (their block index never changes): step 0 copies the inputs in,
+every step mutates in place, and the final values stream back to HBM --
+so chunked launches continue training exactly where the last left off.
+
+Sampling semantics -- the one documented deviation: the reference draws
+batch-128 uniform-with-replacement over slots (main.py:130).  Pallas
+has no vectorized gather, so each learn consumes ONE uniformly chosen
+round slab (all n lanes of a random past step; round indices are drawn
+host-side with jax.random and streamed through SMEM).  Every stored
+transition is sampled with equal probability (uniform marginal over
+the ring), but a batch shares a common age and the batch size is
+``num_envs``, not 128.  tests/test_fused_trainer.py locks the learner
+math against jax.grad + optax.adam on CPU; learning-quality parity vs
+the XLA trainer is validated on hardware (docs/BENCHMARKS.md).
+
+Store-gating note: the reference drops transitions once the ego has won
+(main.py:209-210); the slab layout keeps the ring dense, so gated lanes
+re-store their previous round's row (a stale duplicate rather than a
+skip).  Metrics reproduce agents.dqn.train_step exactly (including the
+pre-step-obs win test, main.py:225).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from merging_gym_tpu.core import constants as C
+from merging_gym_tpu.core.geometry import lon2coord
+from merging_gym_tpu.ops.fused_rollout import _env_step_math
+
+OPP_L0 = "L0"
+OPP_SELFPLAY = "selfplay"
+OPP_FROZEN = "frozen"
+
+ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-8  # torch defaults (main.py:96)
+
+# Ring fields per round: obs 10 + next_obs 10 + action/reward/done = 23,
+# padded to 24 so the dynamic row offset round*NUM_F is provably a multiple
+# of 8 (Mosaic requires sublane-aligned dynamic vector loads/stores).
+NUM_F = 24
+ENV_ROWS = 11  # pos 2, vel 2, xy 4, winner, t, ep_reward
+
+
+def _phi(x: float) -> float:
+    return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+
+# ---------------------------------------------------------------------------
+# Learner math (pure jnp on env-last [rows, n] layout; shared by the kernel
+# and the CPU parity test).  Params are transposed 6-tuples:
+# (w0T [H1, IN], b0 [H1, 1], w1T [H2, H1], b1 [H2, 1], w2T [A, H2], b2 [A, 1]).
+# ---------------------------------------------------------------------------
+
+def _mm(a, b):
+    """a [r, k] x b [k, n] -> [r, n]."""
+    return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _mm_nt(a, b):
+    """a [r, n] x b [s, n] -> [r, s] (contract the lane axis of both)."""
+    return lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _mm_tn(a, b):
+    """a [r, s] x b [r, n] -> [s, n] (contract the leading axis of both)."""
+    return lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _fwd(p, x):
+    w0T, b0, w1T, b1, w2T, b2 = p
+    z1 = _mm(w0T, x) + b0
+    h1 = jnp.maximum(z1, 0.0)
+    z2 = _mm(w1T, h1) + b1
+    h2 = jnp.maximum(z2, 0.0)
+    q = _mm(w2T, h2) + b2
+    return z1, h1, z2, h2, q
+
+
+def _argmax0(q, num_actions):
+    best_q, best_a = q[0], jnp.zeros_like(q[0], jnp.int32)
+    for j in range(1, num_actions):
+        better = q[j] > best_q
+        best_q = jnp.where(better, q[j], best_q)
+        best_a = jnp.where(better, j, best_a)
+    return best_a
+
+
+def learn_math(p, tp, m, v, batch, t, *, gamma, lr, num_actions,
+               mask_terminal=False):
+    """One Double-DQN + Adam step; returns (new_p, new_m, new_v, loss).
+
+    ``batch``: obs [IN, n], action i32 [n], reward [n], next_obs [IN, n],
+    done bool [n].  ``t``: 1-based Adam step count (i32 scalar).
+    Mirrors agents.dqn.td_loss + learn (main.py:143-157).
+    """
+    x, xn = batch["obs"], batch["next_obs"]
+    n = x.shape[1]
+    a_onehot = jnp.stack([(batch["action"] == j).astype(jnp.float32)
+                          for j in range(num_actions)])          # [A, n]
+
+    z1, h1, z2, h2, q = _fwd(p, x)
+    q_sel = jnp.sum(q * a_onehot, axis=0)                        # [n]
+
+    _, _, _, _, q_ne = _fwd(p, xn)
+    _, _, _, _, q_nt = _fwd(tp, xn)
+    best_a = _argmax0(q_ne, num_actions)
+    star = jnp.stack([(best_a == j).astype(jnp.float32)
+                      for j in range(num_actions)])
+    bootstrap = jnp.sum(q_nt * star, axis=0)
+    if mask_terminal:
+        bootstrap = bootstrap * (1.0 - batch["done"].astype(jnp.float32))
+    target = batch["reward"] + gamma * bootstrap
+
+    diff = q_sel - target
+    loss = jnp.mean(diff * diff)
+
+    w0T, b0, w1T, b1, w2T, b2 = p
+    dq = a_onehot * ((2.0 / n) * diff)                           # [A, n]
+    dw2T = _mm_nt(dq, h2)                                        # [A, H2]
+    db2 = jnp.sum(dq, axis=1, keepdims=True)
+    dz2 = _mm_tn(w2T, dq) * (z2 > 0.0).astype(jnp.float32)       # [H2, n]
+    dw1T = _mm_nt(dz2, h1)                                       # [H2, H1]
+    db1 = jnp.sum(dz2, axis=1, keepdims=True)
+    dz1 = _mm_tn(w1T, dz2) * (z1 > 0.0).astype(jnp.float32)      # [H1, n]
+    dw0T = _mm_nt(dz1, x)                                        # [H1, IN]
+    db0 = jnp.sum(dz1, axis=1, keepdims=True)
+    grads = (dw0T, db0, dw1T, db1, dw2T, db2)
+
+    # Adam, bias-corrected; pow via exp/log (Mosaic has no scalar pow).
+    tf = t.astype(jnp.float32)
+    c1 = 1.0 - jnp.exp(tf * math.log(ADAM_B1))
+    c2 = 1.0 - jnp.exp(tf * math.log(ADAM_B2))
+    new_p, new_m, new_v = [], [], []
+    for pi, mi, vi, gi in zip(p, m, v, grads):
+        mi = ADAM_B1 * mi + (1.0 - ADAM_B1) * gi
+        vi = ADAM_B2 * vi + (1.0 - ADAM_B2) * gi * gi
+        upd = lr * (mi / c1) / (jnp.sqrt(vi / c2) + ADAM_EPS)
+        new_p.append(pi - upd)
+        new_m.append(mi)
+        new_v.append(vi)
+    return tuple(new_p), tuple(new_m), tuple(new_v), loss
+
+
+def params_to_t(params):
+    """nn.mlp param dict -> transposed 6-tuple (f32)."""
+    out = []
+    for i in range(3):
+        out.append(jnp.asarray(params[f"fc{i}"]["w"], jnp.float32).T)
+        out.append(jnp.asarray(params[f"fc{i}"]["b"], jnp.float32)[:, None])
+    return tuple(out)
+
+
+def t_to_params(pt):
+    """Transposed 6-tuple -> nn.mlp param dict."""
+    return {f"fc{i}": {"w": pt[2 * i].T, "b": pt[2 * i + 1][:, 0]}
+            for i in range(3)}
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(cfg_ref, rewards_ref, rounds_ref, *refs,
+            n, R, opp, p_greedy, num_actions, gamma, lr, target_sync,
+            mask_terminal):
+    # inputs: p 6, tp 6, m 6, v 6, opp 6, env 1, ring 1  (32 refs)
+    # outputs: p 6, tp 6, m 6, v 6, env 1, ring 1, met 1, loss 1 (28 refs)
+    ins, outs = refs[:32], refs[32:]
+    p_in, tp_in, m_in, v_in = ins[0:6], ins[6:12], ins[12:18], ins[18:24]
+    opp_in, env_in, ring_in = ins[24:30], ins[30], ins[31]
+    p_o, tp_o, m_o, v_o = outs[0:6], outs[6:12], outs[12:18], outs[18:24]
+    env_o, ring_o, met_o, loss_o = outs[24], outs[25], outs[26], outs[27]
+
+    i = pl.program_id(0)
+    warm = cfg_ref[2]   # 1 = ring already full from a previous launch
+    prior_learns = cfg_ref[3]
+
+    @pl.when(i == 0)
+    def _():
+        for dst, src in zip(p_o + tp_o + m_o + v_o,
+                            p_in + tp_in + m_in + v_in):
+            dst[:] = src[:]
+        env_o[:] = env_in[:]
+        ring_o[:] = ring_in[:]
+        met_o[:] = jnp.zeros((4, n), jnp.float32)
+
+    pltpu.prng_seed(cfg_ref[0] + i)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((4, n)), jnp.uint32)
+
+    # --- current state ------------------------------------------------------
+    env = env_o[:]
+    pos, vel = env[0:2], env[2:4]
+    x1, y1, x2, y2 = env[4], env[5], env[6], env[7]
+    winner = env[8].astype(jnp.int32)
+    tcnt = env[9].astype(jnp.int32)
+    ep_rew = env[10]
+
+    obs = jnp.stack([
+        x2 - x1, y2 - y1, vel[1] - vel[0], C.END_POINT - pos[0], vel[0],
+        x1 - x2, y1 - y2, vel[0] - vel[1], C.END_POINT - pos[1], vel[1],
+    ])
+
+    # --- actor (Phi(eps)-greedy, main.py:105) -------------------------------
+    p_now = tuple(r[:] for r in p_o)
+    threshold = jnp.uint32(min(int(p_greedy * 4294967296.0), 4294967295))
+
+    def eps_greedy(params6, x, mask_b, rand_b):
+        _, _, _, _, q = _fwd(params6, x)
+        best_a = _argmax0(q, num_actions)
+        rand = (rand_b % jnp.uint32(num_actions)).astype(jnp.int32)
+        return jnp.where(mask_b < threshold, best_a, rand)
+
+    a1 = eps_greedy(p_now, obs, bits[0], bits[1])
+    if opp == OPP_L0:
+        a2 = jnp.full((n,), C.ACTION_NONE, jnp.int32)
+    else:
+        obs2 = jnp.concatenate([obs[5:], obs[:5]])
+        opp_p = p_now if opp == OPP_SELFPLAY else tuple(r[:] for r in opp_in)
+        a2 = eps_greedy(opp_p, obs2, bits[2], bits[3])
+    actions = jnp.stack([a1, a2])
+
+    # --- env step ------------------------------------------------------------
+    rcfg = tuple(rewards_ref[k] for k in range(5))
+    npos, nvel, nwin, ntcnt, done, col, rewards, next_obs, coords = \
+        _env_step_math(pos, vel, winner, tcnt, jnp.zeros((n,), bool),
+                       actions, rcfg, cfg_ref[1])
+
+    # --- replay write (round = step % R; store-gated lanes keep their old
+    # row -- see module docstring) -------------------------------------------
+    r_cur = lax.rem(i, R)
+    store = (nwin != 1)[None, :].astype(jnp.float32)              # [1, n]
+    slab = jnp.concatenate([
+        obs, next_obs,
+        jnp.stack([a1.astype(jnp.float32), rewards[0],
+                   done.astype(jnp.float32),
+                   jnp.zeros((n,), jnp.float32)]),  # alignment pad row
+    ])                                                             # [NUM_F, n]
+    old = ring_o[pl.ds(r_cur * NUM_F, NUM_F), :]
+    ring_o[pl.ds(r_cur * NUM_F, NUM_F), :] = store * slab + (1.0 - store) * old
+
+    # --- learner (gated on ring full, main.py:213-214) ------------------------
+    can_learn = (warm == 1) | (i >= R - 1)
+    lc = prior_learns + jnp.where(warm == 1, i, i - (R - 1))
+
+    @pl.when(can_learn)
+    def _():
+        r_s = rounds_ref[i]
+        sampled = ring_o[pl.ds(r_s * NUM_F, NUM_F), :]
+        batch = {
+            "obs": sampled[0:10],
+            "next_obs": sampled[10:20],
+            "action": sampled[20].astype(jnp.int32),
+            "reward": sampled[21],
+            "done": sampled[22] > 0.5,
+        }
+        sync = lax.rem(lc, target_sync) == 0
+        p6 = tuple(r[:] for r in p_o)
+        tp6 = tuple(jnp.where(sync, pv, r[:]) for pv, r in zip(p6, tp_o))
+        new_p, new_m, new_v, loss = learn_math(
+            p6, tp6, tuple(r[:] for r in m_o), tuple(r[:] for r in v_o),
+            batch, lc + 1, gamma=gamma, lr=lr, num_actions=num_actions,
+            mask_terminal=mask_terminal)
+        for dst, val in zip(p_o + tp_o + m_o + v_o,
+                            new_p + tp6 + new_m + new_v):
+            dst[:] = val
+        loss_o[:] = jnp.full((8, 128), loss, jnp.float32)
+
+    @pl.when(jnp.logical_not(can_learn))
+    def _():
+        loss_o[:] = jnp.zeros((8, 128), jnp.float32)
+
+    # --- metrics (lane-wise accumulators; host reduces) -----------------------
+    ep_rew = ep_rew + jnp.where(store[0] > 0.5, rewards[0], 0.0)
+    won = done & (obs[8] > obs[3])                                 # main.py:225
+    met_o[:] = met_o[:] + jnp.stack([
+        done.astype(jnp.float32),                                  # episodes
+        col.astype(jnp.float32),                                   # collisions
+        won.astype(jnp.float32),                                   # wins
+        jnp.where(done, ep_rew, 0.0),                              # ep returns
+    ])
+    ep_rew = jnp.where(done, 0.0, ep_rew)
+
+    # --- auto-reset + state writeback -----------------------------------------
+    reset = done[None, :]
+    sp = jnp.full((n,), C.START_POINT, jnp.float32)
+    x1r, y1r = lon2coord(sp, +1.0)
+    x2r, y2r = lon2coord(sp, -1.0)
+    env_o[0:2] = jnp.where(reset, C.START_POINT, npos)
+    env_o[2:4] = jnp.where(reset, C.START_VEL, nvel)
+    env_o[4:8] = jnp.where(reset, jnp.stack([x1r, y1r, x2r, y2r]), coords)
+    env_o[8] = jnp.where(done, 0, nwin).astype(jnp.float32)
+    env_o[9] = jnp.where(done, 0, ntcnt).astype(jnp.float32)
+    env_o[10] = ep_rew
+
+
+# ---------------------------------------------------------------------------
+# Host API
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("num_steps", "n", "R", "opp", "p_greedy",
+                              "num_actions", "gamma", "lr", "target_sync",
+                              "mask_terminal"))
+def _call(cfg, rewards_vec, rounds, arrays, num_steps, n, R, opp, p_greedy,
+          num_actions, gamma, lr, target_sync, mask_terminal):
+    kernel = functools.partial(
+        _kernel, n=n, R=R, opp=opp, p_greedy=p_greedy,
+        num_actions=num_actions, gamma=gamma, lr=lr,
+        target_sync=target_sync, mask_terminal=mask_terminal)
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+                + [whole(a.shape) for a in arrays])
+    state_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                    for a in arrays[:24]]          # p, tp, m, v
+    out_shape = tuple(
+        state_shapes
+        + [jax.ShapeDtypeStruct((ENV_ROWS, n), jnp.float32),
+           jax.ShapeDtypeStruct((R * NUM_F, n), jnp.float32),
+           jax.ShapeDtypeStruct((4, n), jnp.float32),
+           # final-step loss, broadcast over one tile (Mosaic needs
+           # (8,128)-aligned or whole blocks; a (1,1) per-step block is
+           # rejected) -- host reads [0, 0].
+           jax.ShapeDtypeStruct((8, 128), jnp.float32)])
+    out_specs = tuple(
+        [whole(s.shape) for s in state_shapes]
+        + [whole((ENV_ROWS, n)), whole((R * NUM_F, n)), whole((4, n)),
+           whole((8, 128))])
+    return pl.pallas_call(
+        kernel, grid=(num_steps,), in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape,
+        # Ring + env state + learner temporaries all live in VMEM; the
+        # default 16MB scoped limit caps num_envs at ~8K.  v5e has 128MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(cfg, rewards_vec, rounds, *arrays)
+
+
+def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None):
+    """Fresh training state for the single-kernel trainer.
+
+    ``cfg``: agents.dqn.DQNConfig (batch_size is ignored -- the learner
+    batch is ``num_envs``; memory_capacity must be a multiple of
+    num_envs, giving R = capacity // num_envs ring rounds).  Returns a
+    plain dict carry.
+    """
+    from merging_gym_tpu.nn.mlp import qnet_init
+
+    assert num_envs % 128 == 0, "num_envs must be a multiple of 128"
+    R = cfg.memory_capacity // num_envs
+    assert R >= 2 and cfg.memory_capacity == R * num_envs, (
+        "memory_capacity must be k*num_envs, k>=2")
+    k_eval, k_target = jax.random.split(jax.random.fold_in(key, 0))
+    p = params_to_t(qnet_init(k_eval, cfg.obs_dim, cfg.num_actions, cfg.hidden))
+    tp = params_to_t(qnet_init(k_target, cfg.obs_dim, cfg.num_actions, cfg.hidden))
+    zeros6 = tuple(jnp.zeros_like(a) for a in p)
+    opp = params_to_t(opp_params) if opp_params is not None else p
+
+    n = num_envs
+    env = np.zeros((ENV_ROWS, n), np.float32)
+    env[0:2] = C.START_POINT
+    env[2:4] = C.START_VEL
+    sp = jnp.full((n,), jnp.float32(C.START_POINT))
+    x1, y1 = lon2coord(sp, +1.0)
+    x2, y2 = lon2coord(sp, -1.0)
+    env[4:8] = np.stack([np.asarray(x1), np.asarray(y1),
+                         np.asarray(x2), np.asarray(y2)])
+    return {
+        "p": p, "tp": tp, "m": zeros6, "v": zeros6, "opp": opp,
+        "env": jnp.asarray(env), "ring": jnp.zeros((R * NUM_F, n), jnp.float32),
+        "R": R, "n": n, "warm": 0, "learns": 0, "env_steps": 0,
+        "episodes": 0.0, "collisions": 0.0, "wins": 0.0, "sum_ep_reward": 0.0,
+        "last_loss": 0.0,
+    }
+
+
+def fused_dqn_chunk(cfg, env_params, carry, num_steps, seed):
+    """Run ``num_steps`` training steps in ONE kernel launch."""
+    R, n = carry["R"], carry["n"]
+    rounds = jax.random.randint(jax.random.key(seed ^ 0x5EED), (num_steps,),
+                                0, R, jnp.int32)
+    cfgv = jnp.asarray([seed, env_params.max_steps, carry["warm"],
+                        carry["learns"]], jnp.int32)
+    rewards_vec = jnp.asarray([
+        env_params.r_first, env_params.r_second, env_params.r_collision,
+        env_params.vel_penalty, env_params.time_penalty], jnp.float32)
+    arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
+              + list(carry["v"]) + list(carry["opp"])
+              + [carry["env"], carry["ring"]])
+    assert not env_params.random_start, "fused trainer: deterministic starts"
+    out = _call(cfgv, rewards_vec, rounds, tuple(arrays), num_steps, n, R,
+                cfg.opponent, _phi(cfg.epsilon), cfg.num_actions,
+                float(cfg.gamma), float(cfg.lr), int(cfg.target_sync),
+                bool(cfg.mask_terminal))
+    p, tp, m, v = out[0:6], out[6:12], out[12:18], out[18:24]
+    env, ring, met, loss = out[24], out[25], out[26], out[27]
+    met = np.asarray(met).sum(axis=1)
+    new_learns = num_steps if carry["warm"] else max(num_steps - (R - 1), 0)
+    return {
+        **carry,
+        "p": tuple(p), "tp": tuple(tp), "m": tuple(m), "v": tuple(v),
+        "env": env, "ring": ring, "warm": 1,
+        "learns": carry["learns"] + new_learns,
+        "env_steps": carry["env_steps"] + num_steps * n,
+        "episodes": carry["episodes"] + float(met[0]),
+        "collisions": carry["collisions"] + float(met[1]),
+        "wins": carry["wins"] + float(met[2]),
+        "sum_ep_reward": carry["sum_ep_reward"] + float(met[3]),
+        "last_loss": float(np.asarray(loss)[0, 0]),
+    }
