@@ -70,6 +70,13 @@ class DQNConfig:
     # indistinguishable from valid-only sampling -- every slot is filled
     # by the time it opens -- so the corrected mode changes both.)
     sample_valid: bool = struct.field(pytree_node=False, default=False)
+    # Mixed precision: forward passes (actor + learner) run with params
+    # and activations cast to this dtype while master params, gradients,
+    # Adam moments and the TD-error math stay float32 (matmuls accumulate
+    # in f32 on the MXU either way -- nn/mlp.py).  "bfloat16" doubles MXU
+    # throughput at production net widths; the reference's 10-200-100-5
+    # net is too small for it to matter (benchmarks/width_dtype.py).
+    compute_dtype: str = struct.field(pytree_node=False, default="float32")
 
 
 @struct.dataclass
@@ -101,12 +108,29 @@ def dqn_init(key: jax.Array, cfg: DQNConfig = DQNConfig()) -> DQNState:
     )
 
 
+def _compute_cast(tree, cfg: DQNConfig):
+    """Cast params/activations to the compute dtype (no-op at f32).
+
+    Differentiable: grads of a bf16 forward flow back into the f32
+    master params (the cast's transpose is a cast)."""
+    if cfg.compute_dtype == "float32":
+        return tree
+    dt = jnp.dtype(cfg.compute_dtype)
+    return jax.tree.map(lambda x: x.astype(dt), tree)
+
+
+def _qnet_fwd(params, x, cfg: DQNConfig):
+    """Forward in the compute dtype, Q-values back in f32."""
+    q = qnet_apply(_compute_cast(params, cfg), _compute_cast(x, cfg))
+    return q.astype(jnp.float32)
+
+
 def td_loss(params, target_params, batch, cfg: DQNConfig):
     """Double-DQN MSE loss (main.py:143-153)."""
-    q_eval = qnet_apply(params, batch["obs"])
+    q_eval = _qnet_fwd(params, batch["obs"], cfg)
     q_sel = jnp.take_along_axis(q_eval, batch["action"][:, None], axis=-1)[:, 0]
-    q_next_t = qnet_apply(target_params, batch["next_obs"])
-    q_next_e = qnet_apply(jax.lax.stop_gradient(params), batch["next_obs"])
+    q_next_t = _qnet_fwd(target_params, batch["next_obs"], cfg)
+    q_next_e = _qnet_fwd(jax.lax.stop_gradient(params), batch["next_obs"], cfg)
     a_star = jnp.argmax(q_next_e, axis=-1)
     bootstrap = jnp.take_along_axis(q_next_t, a_star[:, None], axis=-1)[:, 0]
     if cfg.mask_terminal:
@@ -207,14 +231,14 @@ def _choose_actions(carry: TrainCarry, cfg: DQNConfig, key):
     obs = carry.obs
     n = obs.shape[0]
     k1, k2 = jax.random.split(key)
-    q1 = qnet_apply(carry.dqn.params, obs)
+    q1 = _qnet_fwd(carry.dqn.params, obs, cfg)
     a1 = jax.vmap(eps_greedy_from_q, in_axes=(0, 0, None, None))(
         q1, jax.random.split(k1, n), cfg.epsilon, cfg.num_actions)
     if cfg.opponent == OPP_L0:
         a2 = jnp.full((n,), C.ACTION_NONE, jnp.int32)
     else:
         opp = carry.dqn.params if cfg.opponent == OPP_SELFPLAY else carry.opp_params
-        q2 = qnet_apply(opp, swap_obs(obs))
+        q2 = _qnet_fwd(opp, swap_obs(obs), cfg)
         a2 = jax.vmap(eps_greedy_from_q, in_axes=(0, 0, None, None))(
             q2, jax.random.split(k2, n), cfg.epsilon, cfg.num_actions)
     return jnp.stack([a1, a2], axis=-1)

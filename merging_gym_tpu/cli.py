@@ -52,6 +52,12 @@ def _train_args(p):
     p.add_argument("--memory-capacity", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--hidden", type=int, nargs=2, default=None,
+                   metavar=("H1", "H2"),
+                   help="Q-net hidden widths (dqn; default 200 100)")
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="dqn: forward-pass dtype (master params stay f32)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="run directory (default: reference-style name)")
     p.add_argument("--per", action="store_true", help="prioritised replay (rainbow)")
@@ -113,6 +119,10 @@ def cmd_train(args):
                              "XLA trainer); drop --fused-kernel to use them")
         if env_params.random_start:
             raise SystemExit("--fused-kernel requires deterministic starts")
+        if args.hidden or args.compute_dtype != "float32":
+            raise SystemExit("--fused-kernel supports only the reference "
+                             "net (200 100) in float32; drop --hidden/"
+                             "--compute-dtype or the --fused-kernel flag")
         mode = (D.OPP_L0 if args.opponent == "L0"
                 else D.OPP_SELFPLAY if args.opponent == "selfplay"
                 else D.OPP_FROZEN)
@@ -154,7 +164,9 @@ def cmd_train(args):
             opponent=mode,
             memory_capacity=args.memory_capacity or max(2000, 2 * args.num_envs),
             batch_size=args.batch_size or 128,
-            lr=args.lr or 0.01)
+            lr=args.lr or 0.01,
+            hidden=tuple(args.hidden) if args.hidden else (200, 100),
+            compute_dtype=args.compute_dtype)
         opp = _load_frozen_qnet(args.opponent) if mode == D.OPP_FROZEN else None
         carry = D.train_init(key, cfg, env_params, args.num_envs, opp)
         step_fn = lambda c: D.train_chunk(cfg, env_params, c, args.chunk_steps)

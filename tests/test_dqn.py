@@ -120,3 +120,37 @@ def test_selfplay_and_frozen_modes_compile():
                              opp_params=opp if mode == D.OPP_FROZEN else None)
         carry = D.train_chunk(cfg, env_params, carry, 20)
         assert int(carry.metrics.env_steps) == 160
+
+
+def test_bf16_compute_trains_with_f32_master_params():
+    """Mixed precision: forwards in bf16, master params/opt state f32.
+
+    bf16 is opt-in (compute_dtype); defaults are unchanged f32."""
+    cfg = D.DQNConfig(memory_capacity=512, batch_size=32, opponent=D.OPP_L0,
+                      compute_dtype="bfloat16")
+    env_params = EnvParams()
+    carry = D.train_init(jax.random.key(3), cfg, env_params, num_envs=32)
+    carry = D.train_chunk(cfg, env_params, carry, 64)
+    assert int(carry.dqn.learn_counter) > 0
+    assert not bool(jnp.isnan(carry.dqn.last_loss))
+    # Master params and Adam moments never leave f32.
+    for leaf in jax.tree.leaves(carry.dqn.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree.leaves(carry.dqn.opt_state):
+        assert jnp.issubdtype(leaf.dtype, jnp.integer) or leaf.dtype == jnp.float32
+
+
+def test_bf16_forward_close_to_f32():
+    """A bf16 forward of the same params tracks the f32 Q-values within
+    bf16 resolution (the MXU still accumulates in f32, nn/mlp.py)."""
+    cfg32 = D.DQNConfig()
+    cfg16 = D.DQNConfig(compute_dtype="bfloat16")
+    params = qnet_init(jax.random.key(0), cfg32.obs_dim, cfg32.num_actions)
+    obs = jax.random.normal(jax.random.key(1), (64, cfg32.obs_dim), jnp.float32)
+    q32 = D._qnet_fwd(params, obs, cfg32)
+    q16 = D._qnet_fwd(params, obs, cfg16)
+    assert q16.dtype == jnp.float32
+    # U(0,1) weights give Q ~ O(1e2); bf16 keeps ~2-3 significant digits
+    # and rounding compounds across the three layers.
+    np.testing.assert_allclose(np.asarray(q16), np.asarray(q32),
+                               rtol=5e-2, atol=5e-2)
