@@ -93,3 +93,23 @@ def test_fused_honors_max_steps():
     # default cap unaffected
     out2 = FR.fused_rollout(T, N, actions=actions)
     assert not np.asarray(out2["done"]).any()
+
+
+def test_fused_unroll_matches_unroll1():
+    """Time-unrolled kernel (K env steps per grid iteration) reproduces
+    the step-per-iteration kernel in actions mode: events (done, winner,
+    collision) exactly, floats to 1-ULP (XLA may contract the unrolled
+    body's FMAs differently)."""
+    T, N = 24, 128
+    rng = np.random.default_rng(3)
+    actions = rng.integers(-1, C.NUM_ACTIONS, size=(T, 2, N)).astype(np.int32)
+    base = FR.fused_rollout(T, N, actions=actions)
+    for K in (2, 4, 8):
+        out = FR.fused_rollout(T, N, actions=actions, unroll=K)
+        for k in ("done", "winner", "collision"):
+            np.testing.assert_array_equal(np.asarray(out[k]),
+                                          np.asarray(base[k]), err_msg=k)
+        for k in ("obs", "rewards"):
+            np.testing.assert_allclose(np.asarray(out[k]),
+                                       np.asarray(base[k]),
+                                       rtol=1e-6, atol=1e-7, err_msg=k)
