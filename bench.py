@@ -32,8 +32,10 @@ import sys
 import time
 
 NUM_ENVS = 4096
-STEPS_PER_CHUNK = 512
+STEPS_PER_CHUNK = 512          # XLA scan path (CPU fallback)
 CHUNKS_PER_REP = 4
+FUSED_STEPS_PER_LAUNCH = 16384  # TPU fused kernel: one long launch per rep
+FUSED_UNROLL = 8
 REPS = 5
 REFERENCE_STEPS_PER_SEC = 1e3  # BASELINE.md: implied 1e2-1e3 on CPU
 WATCHDOG_S = 900
@@ -56,25 +58,26 @@ def measure(force_cpu: bool) -> float:
         # TPU: the single-kernel Pallas rollout (ops/fused_rollout.py) --
         # in-kernel random policy (distribution-equivalent to the XLA
         # path's), full trajectories (obs/rewards/done/winner/collision)
-        # streamed to HBM.  ~1.3x the jit+vmap+scan path at 4096 envs.
+        # streamed to HBM.  One long launch per rep (16384 steps, 8-step
+        # unroll): per-launch dispatch on this tunneled runtime costs
+        # ~25 ms, so short launches are overhead-dominated (512-step
+        # launches: 72M steps/s; 16384-step: ~1.0B steps/s for the SAME
+        # per-step program -- sweep in docs/BENCHMARKS.md).
         from merging_gym_tpu.ops.fused_rollout import fused_rollout
 
         def run_fused(seed):
-            return fused_rollout(STEPS_PER_CHUNK, NUM_ENVS, seed=seed,
-                                 env_params=params)
+            return fused_rollout(FUSED_STEPS_PER_LAUNCH, NUM_ENVS, seed=seed,
+                                 env_params=params, unroll=FUSED_UNROLL)
 
         traj = run_fused(0)
         float(jnp.sum(traj["rewards"]))  # warmup + forced sync
         rates = []
-        seed = 1
-        for _ in range(REPS):
+        for seed in range(1, REPS + 1):
             t0 = time.perf_counter()
-            for _ in range(CHUNKS_PER_REP):
-                traj = run_fused(seed)
-                seed += 1
-                float(jnp.sum(traj["rewards"]))  # forced readback fence
+            traj = run_fused(seed)
+            float(jnp.sum(traj["rewards"]))  # forced readback fence
             dt = time.perf_counter() - t0
-            rates.append(NUM_ENVS * STEPS_PER_CHUNK * CHUNKS_PER_REP / dt)
+            rates.append(NUM_ENVS * FUSED_STEPS_PER_LAUNCH / dt)
         return statistics.median(rates)
 
     def policy(ps, obs, key):
