@@ -25,7 +25,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# Runnable as `python benchmarks/run_benchmarks.py` without installing:
+# python puts the script's dir (benchmarks/) on sys.path, not the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -68,14 +74,14 @@ def bench_rollout(num_envs, steps, chunks, collect="full"):
             "env-steps/s")
 
 
-def bench_fused_rollout(num_envs, steps, chunks):
+def bench_fused_rollout(num_envs, steps, chunks, unroll=1):
     from merging_gym_tpu.ops.fused_rollout import fused_rollout
 
-    out = fused_rollout(steps, num_envs, seed=0)
+    out = fused_rollout(steps, num_envs, seed=0, unroll=unroll)
     float(jnp.sum(out["rewards"]))
     t0 = time.perf_counter()
     for i in range(chunks):
-        out = fused_rollout(steps, num_envs, seed=1 + i)
+        out = fused_rollout(steps, num_envs, seed=1 + i, unroll=unroll)
         float(jnp.sum(out["rewards"]))
     dt = time.perf_counter() - t0
     _report(f"fused-rollout-{num_envs}", num_envs * steps * chunks / dt,
@@ -231,22 +237,27 @@ def main():
         bench_rollout(1024 if q else 4096, 256 if q else 1024,
                       2 if q else 4, collect)
     if jax.default_backend() == "tpu":  # in-kernel PRNG needs real hardware
-        for n in ([4096] if q else [4096, 65536, 262144]):
-            bench_fused_rollout(n, 256 if q else 512 if n <= 65536 else 128,
-                                2 if q else 3)
-        for n in ([4096] if q else [4096, 65536, 262144]):
-            bench_fused_policy_rollout(
-                n, 256 if q else 512 if n <= 65536 else 256, 2 if q else 3,
-                selfplay=True, greedy=True)
+        # Launch lengths chosen so one launch carries enough env steps to
+        # amortise the ~25 ms per-launch dispatch of the tunneled runtime
+        # (docs/BENCHMARKS.md steps-per-launch sweep), capped by the HBM
+        # footprint of the trajectory outputs at large env counts.
+        for n, t in ([(4096, 1024)] if q
+                     else [(4096, 16384), (65536, 1024), (262144, 256)]):
+            bench_fused_rollout(n, t, 2 if q else 3, unroll=8)
+        for n, t in ([(4096, 1024)] if q
+                     else [(4096, 16384), (65536, 2048), (262144, 512)]):
+            bench_fused_policy_rollout(n, t, 2 if q else 3,
+                                       selfplay=True, greedy=True)
         if not q:
-            bench_fused_policy_rollout(65536, 512, 3, selfplay=True,
+            bench_fused_policy_rollout(65536, 2048, 3, selfplay=True,
                                        greedy=False)
-            bench_fused_policy_rollout(65536, 512, 3, selfplay=False,
+            bench_fused_policy_rollout(65536, 2048, 3, selfplay=False,
                                        greedy=True)
     bench_dqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     if jax.default_backend() == "tpu":  # in-kernel PRNG needs real hardware
-        for n in ([4096] if q else [4096, 16384]):
-            bench_dqn_fused(n, 256 if q else 512, 2 if q else 5)
+        for n, t in ([(4096, 512)] if q
+                     else [(4096, 8192), (16384, 4096)]):
+            bench_dqn_fused(n, t, 2 if q else 5)
     bench_hdqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     bench_rainbow(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     bench_native_serial(20000 if q else 200000)
