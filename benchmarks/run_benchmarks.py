@@ -131,17 +131,19 @@ def bench_dqn(num_envs, steps, chunks):
             learns_per_sec=round(steps * chunks / dt, 1))
 
 
-def bench_dqn_fused(num_envs, steps, chunks):
+def bench_dqn_fused(num_envs, steps, chunks, learn_batch=None):
     """Single-kernel DQN trainer (ops.fused_trainer): actor + env + ring
     replay + Double-DQN learner + Adam as ONE pallas_call per chunk.
-    Learner batch = num_envs (one whole-slab sample per step)."""
+    Learner batch = num_envs (one whole-slab sample per step) unless
+    ``learn_batch`` (a random disjoint lane window of that width)."""
     from merging_gym_tpu.agents import dqn as D
     from merging_gym_tpu.core.env import EnvParams
     from merging_gym_tpu.ops import fused_trainer as FT
 
     cfg = D.DQNConfig(memory_capacity=4 * num_envs, opponent=D.OPP_SELFPLAY)
     env_params = EnvParams()
-    carry = FT.fused_dqn_init(jax.random.key(0), cfg, env_params, num_envs)
+    carry = FT.fused_dqn_init(jax.random.key(0), cfg, env_params, num_envs,
+                              learn_batch=learn_batch)
     carry = FT.fused_dqn_chunk(cfg, env_params, carry, steps, seed=0)
     float(jnp.sum(carry["p"][0]))
     t0 = time.perf_counter()
@@ -149,7 +151,9 @@ def bench_dqn_fused(num_envs, steps, chunks):
         carry = FT.fused_dqn_chunk(cfg, env_params, carry, steps, seed=1 + k)
         float(jnp.sum(carry["p"][0])); float(jnp.sum(carry["env"]))
     dt = time.perf_counter() - t0
-    _report(f"dqn-train-fused-{num_envs}", num_envs * steps * chunks / dt,
+    tag = f"-b{learn_batch}" if learn_batch else ""
+    _report(f"dqn-train-fused-{num_envs}{tag}",
+            num_envs * steps * chunks / dt,
             "env-steps/s", learns_per_sec=round(steps * chunks / dt, 1))
 
 
@@ -258,6 +262,8 @@ def main():
         for n, t in ([(4096, 512)] if q
                      else [(4096, 8192), (16384, 4096)]):
             bench_dqn_fused(n, t, 2 if q else 5)
+        if not q:
+            bench_dqn_fused(16384, 4096, 5, learn_batch=128)
     bench_hdqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     bench_rainbow(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     bench_native_serial(20000 if q else 200000)

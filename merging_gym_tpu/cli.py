@@ -73,7 +73,13 @@ def _train_args(p):
     p.add_argument("--fused-kernel", action="store_true",
                    help="dqn only, TPU only: run the whole trainer as one "
                         "Pallas kernel (ops.fused_trainer; no --resume/"
-                        "--checkpoint-every, learner batch = num-envs)")
+                        "--checkpoint-every, learner batch = num-envs "
+                        "unless --learn-batch)")
+    p.add_argument("--learn-batch", type=int, default=None,
+                   help="with --fused-kernel: lanes per learn (multiple of "
+                        "128 dividing num-envs; default num-envs). 128 "
+                        "restores the reference batch scale and is ~2x "
+                        "faster at 16K envs")
 
 
 def _load_frozen_qnet(path):
@@ -131,7 +137,8 @@ def cmd_train(args):
             memory_capacity=args.memory_capacity or 4 * args.num_envs,
             lr=args.lr or 0.01)
         opp = _load_frozen_qnet(args.opponent) if mode == D.OPP_FROZEN else None
-        carry = FT.fused_dqn_init(key, cfg, env_params, args.num_envs, opp)
+        carry = FT.fused_dqn_init(key, cfg, env_params, args.num_envs, opp,
+                                  learn_batch=args.learn_batch)
         t0 = time.time()
         for chunk in range(args.max_chunks):
             carry = FT.fused_dqn_chunk(cfg, env_params, carry,

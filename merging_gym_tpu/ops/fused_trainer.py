@@ -30,12 +30,17 @@ Sampling semantics -- the one documented deviation: the reference draws
 batch-128 uniform-with-replacement over slots (main.py:130).  Pallas
 has no vectorized gather, so each learn consumes ONE uniformly chosen
 round slab (all n lanes of a random past step; round indices are drawn
-host-side with jax.random and streamed through SMEM).  Every stored
+host-side with jax.random and streamed through SMEM) -- or, with
+``learn_batch=B < num_envs``, one uniformly chosen disjoint B-lane
+window of that slab (a dynamic lane-aligned slice).  Every stored
 transition is sampled with equal probability (uniform marginal over
-the ring), but a batch shares a common age and the batch size is
-``num_envs``, not 128.  tests/test_fused_trainer.py locks the learner
-math against jax.grad + optax.adam on CPU; learning-quality parity vs
-the XLA trainer is validated on hardware (docs/BENCHMARKS.md).
+the ring), but a batch shares a common age (and, for B < n, a common
+lane neighbourhood); the default batch size is ``num_envs``, not 128,
+while ``learn_batch=128`` restores the reference's batch scale and cuts
+the learner's matmul work by n/128.  tests/test_fused_trainer.py locks
+the learner math against jax.grad + optax.adam on CPU; learning-quality
+parity vs the XLA trainer is validated on hardware
+(docs/BENCHMARKS.md).
 
 Store-gating note: the reference drops transitions once the ego has won
 (main.py:209-210); the slab layout keeps the ring dense, so gated lanes
@@ -195,8 +200,8 @@ def t_to_params(pt):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(cfg_ref, rewards_ref, rounds_ref, *refs,
-            n, R, opp, p_greedy, num_actions, gamma, lr, target_sync,
+def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
+            n, R, B, opp, p_greedy, num_actions, gamma, lr, target_sync,
             mask_terminal):
     # inputs: p 6, tp 6, m 6, v 6, opp 6, env 1, ring 1  (32 refs)
     # outputs: p 6, tp 6, m 6, v 6, env 1, ring 1, met 1, loss 1 (28 refs)
@@ -280,7 +285,13 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, *refs,
     @pl.when(can_learn)
     def _():
         r_s = rounds_ref[i]
-        sampled = ring_o[pl.ds(r_s * NUM_F, NUM_F), :]
+        if B == n:
+            sampled = ring_o[pl.ds(r_s * NUM_F, NUM_F), :]
+        else:
+            # Random disjoint lane window: B is a static multiple of 128,
+            # so cols_ref[i] * B is provably lane-aligned for Mosaic.
+            sampled = ring_o[pl.ds(r_s * NUM_F, NUM_F),
+                             pl.ds(cols_ref[i] * B, B)]
         batch = {
             "obs": sampled[0:10],
             "next_obs": sampled[10:20],
@@ -333,18 +344,18 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, *refs,
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("num_steps", "n", "R", "opp", "p_greedy",
+    jax.jit, static_argnames=("num_steps", "n", "R", "B", "opp", "p_greedy",
                               "num_actions", "gamma", "lr", "target_sync",
                               "mask_terminal"))
-def _call(cfg, rewards_vec, rounds, arrays, num_steps, n, R, opp, p_greedy,
-          num_actions, gamma, lr, target_sync, mask_terminal):
+def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, opp,
+          p_greedy, num_actions, gamma, lr, target_sync, mask_terminal):
     kernel = functools.partial(
-        _kernel, n=n, R=R, opp=opp, p_greedy=p_greedy,
+        _kernel, n=n, R=R, B=B, opp=opp, p_greedy=p_greedy,
         num_actions=num_actions, gamma=gamma, lr=lr,
         target_sync=target_sync, mask_terminal=mask_terminal)
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
-    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
                 + [whole(a.shape) for a in arrays])
     state_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
                     for a in arrays[:24]]          # p, tp, m, v
@@ -368,20 +379,33 @@ def _call(cfg, rewards_vec, rounds, arrays, num_steps, n, R, opp, p_greedy,
         # default 16MB scoped limit caps num_envs at ~8K.  v5e has 128MB.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
-    )(cfg, rewards_vec, rounds, *arrays)
+    )(cfg, rewards_vec, rounds, cols, *arrays)
 
 
-def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None):
+def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None,
+                   learn_batch=None):
     """Fresh training state for the single-kernel trainer.
 
     ``cfg``: agents.dqn.DQNConfig (batch_size is ignored -- the learner
     batch is ``num_envs``; memory_capacity must be a multiple of
     num_envs, giving R = capacity // num_envs ring rounds).  Returns a
     plain dict carry.
+
+    ``learn_batch`` (default None = ``num_envs``): lanes consumed per
+    learn.  When smaller, each learn samples a uniformly chosen DISJOINT
+    lane window of that width from a uniformly chosen past round (the
+    uniform marginal over stored transitions is kept; the batch still
+    shares a common age, and additionally a common lane neighbourhood).
+    Must be a multiple of 128 dividing ``num_envs``.  Cuts the learner's
+    per-step matmul work by num_envs/learn_batch and restores a
+    reference-scale batch (main.py:130 uses 128).
     """
     from merging_gym_tpu.nn.mlp import qnet_init
 
     assert num_envs % 128 == 0, "num_envs must be a multiple of 128"
+    B = num_envs if learn_batch is None else int(learn_batch)
+    assert B % 128 == 0 and num_envs % B == 0, (
+        "learn_batch must be a multiple of 128 dividing num_envs")
     R = cfg.memory_capacity // num_envs
     assert R >= 2 and cfg.memory_capacity == R * num_envs, (
         "memory_capacity must be k*num_envs, k>=2")
@@ -403,7 +427,7 @@ def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None):
     return {
         "p": p, "tp": tp, "m": zeros6, "v": zeros6, "opp": opp,
         "env": jnp.asarray(env), "ring": jnp.zeros((R * NUM_F, n), jnp.float32),
-        "R": R, "n": n, "warm": 0, "learns": 0, "env_steps": 0,
+        "R": R, "n": n, "B": B, "warm": 0, "learns": 0, "env_steps": 0,
         "episodes": 0.0, "collisions": 0.0, "wins": 0.0, "sum_ep_reward": 0.0,
         "last_loss": 0.0,
     }
@@ -412,8 +436,10 @@ def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None):
 def fused_dqn_chunk(cfg, env_params, carry, num_steps, seed):
     """Run ``num_steps`` training steps in ONE kernel launch."""
     R, n = carry["R"], carry["n"]
-    rounds = jax.random.randint(jax.random.key(seed ^ 0x5EED), (num_steps,),
-                                0, R, jnp.int32)
+    B = carry.get("B", n)
+    k_r, k_c = jax.random.split(jax.random.key(seed ^ 0x5EED))
+    rounds = jax.random.randint(k_r, (num_steps,), 0, R, jnp.int32)
+    cols = jax.random.randint(k_c, (num_steps,), 0, n // B, jnp.int32)
     cfgv = jnp.asarray([seed, env_params.max_steps, carry["warm"],
                         carry["learns"]], jnp.int32)
     rewards_vec = jnp.asarray([
@@ -423,8 +449,8 @@ def fused_dqn_chunk(cfg, env_params, carry, num_steps, seed):
               + list(carry["v"]) + list(carry["opp"])
               + [carry["env"], carry["ring"]])
     assert not env_params.random_start, "fused trainer: deterministic starts"
-    out = _call(cfgv, rewards_vec, rounds, tuple(arrays), num_steps, n, R,
-                cfg.opponent, _phi(cfg.epsilon), cfg.num_actions,
+    out = _call(cfgv, rewards_vec, rounds, cols, tuple(arrays), num_steps,
+                n, R, B, cfg.opponent, _phi(cfg.epsilon), cfg.num_actions,
                 float(cfg.gamma), float(cfg.lr), int(cfg.target_sync),
                 bool(cfg.mask_terminal))
     p, tp, m, v = out[0:6], out[6:12], out[12:18], out[18:24]
