@@ -105,6 +105,10 @@ def cmd_train(args):
                                                save_params_npz)
     from merging_gym_tpu.io.metrics import MetricsWriter, rates_from_counters
 
+    if args.algo != "dqn" and (args.hidden or args.compute_dtype != "float32"):
+        raise SystemExit("--hidden/--compute-dtype are wired into the dqn "
+                         f"trainer only; --algo {args.algo} would silently "
+                         "ignore them (drop the flags or use --algo dqn)")
     env_params = _env_params(args)
     out = args.out or run_dir_name(f" {args.algo}", args.opponent,
                                    env_params.reward_tuple())

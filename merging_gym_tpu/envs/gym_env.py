@@ -173,7 +173,14 @@ class MergeEnvExtend(gym.Env):
 
 def register_gymnasium():
     """Register ``merging_gym_tpu/MergeEnv-v0`` (cf. the reference's
-    ``merging_env-v0`` registration, merging_gym/__init__.py:3-11)."""
+    ``merging_env-v0`` registration, merging_gym/__init__.py:3-11).
+
+    The reference's old-gym ids ``merging_env-v0`` and
+    ``merging_env_extend-v0`` are registered as aliases too (gymnasium-
+    side; gym 0.20 itself is long unmaintained), so reference training
+    scripts port with zero id renames -- ``gym.make("merging_env-v0")``
+    works after swapping ``import gym`` for ``import gymnasium as gym``.
+    """
     if "merging_gym_tpu/MergeEnv-v0" in gym.registry:
         return
     gym.register(
@@ -182,5 +189,14 @@ def register_gymnasium():
     )
     gym.register(
         id="merging_gym_tpu/MergeEnvExtend-v0",
+        entry_point="merging_gym_tpu.envs.gym_env:MergeEnvExtend",
+    )
+    # Old-gym aliases (merging_gym/__init__.py:3-11).
+    gym.register(
+        id="merging_env-v0",
+        entry_point="merging_gym_tpu.envs.gym_env:GymnasiumMergeEnv",
+    )
+    gym.register(
+        id="merging_env_extend-v0",
         entry_point="merging_gym_tpu.envs.gym_env:MergeEnvExtend",
     )

@@ -204,6 +204,15 @@ def fused_rollout(num_steps: int, num_envs: int, actions=None, seed=None,
     divide evenly); at large env counts it amortises the per-iteration
     block turnaround (+9% at 65K envs), at small counts it is neutral.
     Returns a dict of [T, ...]-stacked trajectories in env-last layout.
+
+    Seed-mode caveat: trajectories are a function of (seed, unroll, env
+    tiling), not of ``seed`` alone -- the kernel reseeds its PRNG per
+    grid iteration (seed + i*ntiles + i_env) and draws ``unroll`` times
+    per seed, so the same user seed yields different random actions at
+    different ``unroll``/tiling settings, and nearby seeds overlap
+    streams.  Fine for benchmarks/load generation; pass explicit
+    ``actions`` when reproducibility across configs matters (only
+    actions-mode equality is tested, tests/test_fused_rollout.py).
     """
     assert num_envs % 128 == 0, "num_envs must be a multiple of 128"
     assert num_envs % min(num_envs, ENV_BLOCK) == 0, (

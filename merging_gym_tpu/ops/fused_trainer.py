@@ -386,10 +386,10 @@ def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None,
                    learn_batch=None):
     """Fresh training state for the single-kernel trainer.
 
-    ``cfg``: agents.dqn.DQNConfig (batch_size is ignored -- the learner
-    batch is ``num_envs``; memory_capacity must be a multiple of
-    num_envs, giving R = capacity // num_envs ring rounds).  Returns a
-    plain dict carry.
+    ``cfg``: agents.dqn.DQNConfig.  ``cfg.batch_size`` is ignored: the
+    learner batch is ``num_envs`` unless ``learn_batch`` is given.
+    ``cfg.memory_capacity`` must be a multiple of num_envs, giving
+    R = capacity // num_envs ring rounds.  Returns a plain dict carry.
 
     ``learn_batch`` (default None = ``num_envs``): lanes consumed per
     learn.  When smaller, each learn samples a uniformly chosen DISJOINT
@@ -402,13 +402,16 @@ def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None,
     """
     from merging_gym_tpu.nn.mlp import qnet_init
 
-    assert num_envs % 128 == 0, "num_envs must be a multiple of 128"
+    if num_envs % 128 != 0:
+        raise ValueError(f"num_envs must be a multiple of 128, got {num_envs}")
     B = num_envs if learn_batch is None else int(learn_batch)
-    assert B % 128 == 0 and num_envs % B == 0, (
-        "learn_batch must be a multiple of 128 dividing num_envs")
+    if B % 128 != 0 or num_envs % B != 0:
+        raise ValueError("learn_batch must be a multiple of 128 dividing "
+                         f"num_envs, got learn_batch={B} num_envs={num_envs}")
     R = cfg.memory_capacity // num_envs
-    assert R >= 2 and cfg.memory_capacity == R * num_envs, (
-        "memory_capacity must be k*num_envs, k>=2")
+    if R < 2 or cfg.memory_capacity != R * num_envs:
+        raise ValueError("memory_capacity must be k*num_envs with k>=2, got "
+                         f"capacity={cfg.memory_capacity} num_envs={num_envs}")
     k_eval, k_target = jax.random.split(jax.random.fold_in(key, 0))
     p = params_to_t(qnet_init(k_eval, cfg.obs_dim, cfg.num_actions, cfg.hidden))
     tp = params_to_t(qnet_init(k_target, cfg.obs_dim, cfg.num_actions, cfg.hidden))

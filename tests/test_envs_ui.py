@@ -47,6 +47,19 @@ def test_gymnasium_env_modern_api():
     env.close()
 
 
+def test_old_gym_id_aliases():
+    """The reference's gym-0.20 ids (merging_gym/__init__.py:3-11) resolve
+    as gymnasium aliases, so reference scripts port with zero renames."""
+    register_gymnasium()
+    import gymnasium as gym
+
+    env = gym.make("merging_env-v0")
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (10,)
+    env.close()
+    assert "merging_env_extend-v0" in gym.registry
+
+
 def test_gymnasium_env_custom_opponent():
     env = GymnasiumMergeEnv(opponent=lambda obs, rng: 4)
     env.reset(seed=1)
