@@ -97,6 +97,29 @@ def q_policy(apply_fn, params, greedy: bool = False,
     return Policy(act=_q_act(apply_fn, greedy, epsilon), params=params)
 
 
+@functools.lru_cache(maxsize=None)
+def _rainbow_act(greedy: bool, epsilon: float):
+    from merging_gym_tpu.nn.rainbow_net import rainbow_apply, rainbow_q_values
+
+    def act(p, obs, key):
+        # Eval-mode forward (noise=None -> mu weights), greedy argmax of
+        # E[Z] -- RainbowDQN.act (ranbowdqn.py:543-548).  greedy=False
+        # additionally applies the Phi(eps)-greedy quirk so league play
+        # from the deterministic start does not collapse to one
+        # trajectory (same protocol as q_policy).
+        q = rainbow_q_values(rainbow_apply(p, obs))
+        if greedy:
+            return jnp.argmax(q, axis=-1).astype(jnp.int32)
+        return eps_greedy_from_q(q, key, epsilon)
+    return act
+
+
+def rainbow_policy(params, greedy: bool = False,
+                   epsilon: float = EPSILON) -> Policy:
+    """Policy over a frozen Rainbow (dueling C51 NoisyNet) checkpoint."""
+    return Policy(act=_rainbow_act(greedy, epsilon), params=params)
+
+
 def two_player(policy1: Policy, policy2: Policy):
     """Compose two single-player policies into a batched rollout policy_fn.
 

@@ -68,6 +68,12 @@ class RainbowConfig:
     per_alpha: float = struct.field(pytree_node=False, default=0.6)
     per_beta: float = struct.field(pytree_node=False, default=0.4)
     n_step: int = struct.field(pytree_node=False, default=1)
+    # Opponent mode: the reference Rainbow trainer is self-play only
+    # (ranbowdqn.py:668-669); "L0" (constant velocity, action2=None) and
+    # "frozen" (a fixed MLP Q-net played through the reference's
+    # Phi(0.7)-greedy actor, main.py:105) make Rainbow trainable against
+    # the level-k ladder like the DQN trainer (main.py:161-168).
+    opponent: str = struct.field(pytree_node=False, default=D.OPP_SELFPLAY)
     # When set (by parallel.spmd.spmd_rainbow_chunk), gradients are
     # pmean-combined over this mesh axis so params stay replicated.
     pmean_axis: str | None = struct.field(pytree_node=False, default=None)
@@ -90,6 +96,7 @@ class RainbowCarry:
     last_loss: jax.Array
     key: jax.Array
     metrics: D.Metrics
+    opp_params: Any = None     # frozen-opponent MLP Q-net (opponent="frozen")
 
 
 def _make_opt(cfg):
@@ -97,7 +104,10 @@ def _make_opt(cfg):
 
 
 def rainbow_train_init(key, cfg: RainbowConfig, env_params: EnvParams,
-                       num_envs: int) -> RainbowCarry:
+                       num_envs: int, opp_params=None) -> RainbowCarry:
+    if (cfg.opponent == D.OPP_FROZEN) != (opp_params is not None):
+        raise ValueError("opp_params must be given exactly when "
+                         f"opponent='frozen' (got opponent={cfg.opponent!r})")
     k_env, k_net, k_n1, k_n2, k_run, k_noise = jax.random.split(key, 6)
     env_state = reset_batch(env_params, k_env, num_envs)
     obs = jax.vmap(core_env.observe)(env_state)
@@ -123,6 +133,7 @@ def rainbow_train_init(key, cfg: RainbowConfig, env_params: EnvParams,
         sync_chunks=jnp.zeros((), jnp.int32),
         last_loss=jnp.zeros((), jnp.float32),
         key=k_run, metrics=D.Metrics.zero(),
+        opp_params=opp_params,
     )
 
 
@@ -159,17 +170,36 @@ def rainbow_loss(params, target_params, noise, target_noise, batch, weights,
 
 def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
                        carry: RainbowCarry, _):
-    key, k_reset, k_sample = jax.random.split(carry.key, 3)
+    if cfg.opponent == D.OPP_FROZEN:
+        # The extra split happens only on this static branch so the
+        # self-play RNG stream stays exactly what it always was.
+        key, k_reset, k_sample, k_act = jax.random.split(carry.key, 4)
+    else:
+        key, k_reset, k_sample = jax.random.split(carry.key, 3)
     noise_key, k_n1, k_n2 = jax.random.split(carry.noise_key, 3)
     obs = carry.obs
     num_envs = obs.shape[0]
 
-    # Self-play: one net, both seats (ranbowdqn.py:668-669).
     a1 = _act(carry.params, carry.noise, obs, cfg)
-    # state[k:] + state[:k] is a LEFT rotation: roll by -k.  (The default
-    # 5 is self-inverse mod 10; the reference-bug value 3 is not.)
-    a2 = _act(carry.params, carry.noise,
-              jnp.roll(obs, -cfg.opponent_roll, axis=-1), cfg)
+    if cfg.opponent == D.OPP_L0:
+        # Constant-velocity opponent: action2 = None (main.py:196-197).
+        a2 = jnp.full((num_envs,), C.ACTION_NONE, jnp.int32)
+    elif cfg.opponent == D.OPP_FROZEN:
+        # Frozen MLP Q-net (a level-k ladder rung) through the reference
+        # Phi(0.7)-greedy actor on the proper half-swapped view.
+        from merging_gym_tpu.agents.policies import EPSILON, eps_greedy_from_q
+        from merging_gym_tpu.nn.mlp import qnet_apply
+
+        q2 = qnet_apply(carry.opp_params, core_env.swap_obs(obs))
+        a2 = jax.vmap(eps_greedy_from_q, in_axes=(0, 0, None, None))(
+            q2, jax.random.split(k_act, num_envs), EPSILON, cfg.num_actions)
+    else:
+        # Self-play: one net, both seats (ranbowdqn.py:668-669).
+        # state[k:] + state[:k] is a LEFT rotation: roll by -k.  (The
+        # default 5 is self-inverse mod 10; the reference-bug value 3 is
+        # not.)
+        a2 = _act(carry.params, carry.noise,
+                  jnp.roll(obs, -cfg.opponent_roll, axis=-1), cfg)
     actions = jnp.stack([a1, a2], axis=-1)
     env_state, ts = autoreset_step(env_params, carry.env_state, actions, k_reset)
     next_obs_env = observe_after_reset(env_params, env_state, ts)
@@ -277,6 +307,7 @@ def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
         noise=noise, target_noise=target_noise, replay=replay,
         noise_key=noise_key, nstep=nstep,
         sync_chunks=chunks, last_loss=loss, key=key, metrics=metrics,
+        opp_params=carry.opp_params,
     )
     return out, None
 

@@ -72,14 +72,23 @@ def _train_args(p):
                         "matplotlib panel analog, main.py:176-235)")
     p.add_argument("--fused-kernel", action="store_true",
                    help="dqn only, TPU only: run the whole trainer as one "
-                        "Pallas kernel (ops.fused_trainer; no --resume/"
-                        "--checkpoint-every, learner batch = num-envs "
-                        "unless --learn-batch)")
+                        "Pallas kernel (ops.fused_trainer; learner batch = "
+                        "num-envs unless --learn-batch)")
     p.add_argument("--learn-batch", type=int, default=None,
                    help="with --fused-kernel: lanes per learn (multiple of "
                         "128 dividing num-envs; default num-envs). 128 "
                         "restores the reference batch scale and is ~2x "
                         "faster at 16K envs")
+    p.add_argument("--learn-rounds", type=int, default=1,
+                   help="with --fused-kernel: compose each learn batch "
+                        "from K independent (round, lane-window) draws of "
+                        "learn-batch/K lanes (breaks the single-slab age "
+                        "correlation; needs learn-batch %% (128*K) == 0)")
+    p.add_argument("--greedy-actor", action="store_true",
+                   help="with --fused-kernel: pure-argmax actor (the "
+                        "Phi(eps)-greedy quirk taken to P(greedy)=1); "
+                        "deterministic, skips the on-chip PRNG -- what the "
+                        "CPU interpret-mode tests drive")
 
 
 def _load_frozen_qnet(path):
@@ -123,10 +132,6 @@ def cmd_train(args):
         # TPU-only; see the module docstring for the sampling deviation.
         from merging_gym_tpu.ops import fused_trainer as FT
 
-        if args.resume or args.checkpoint_every:
-            raise SystemExit("--fused-kernel does not support --resume/"
-                             "--checkpoint-every (orbax state lives in the "
-                             "XLA trainer); drop --fused-kernel to use them")
         if env_params.random_start:
             raise SystemExit("--fused-kernel requires deterministic starts")
         if args.hidden or args.compute_dtype != "float32":
@@ -142,11 +147,23 @@ def cmd_train(args):
             lr=args.lr or 0.01)
         opp = _load_frozen_qnet(args.opponent) if mode == D.OPP_FROZEN else None
         carry = FT.fused_dqn_init(key, cfg, env_params, args.num_envs, opp,
-                                  learn_batch=args.learn_batch)
+                                  learn_batch=args.learn_batch,
+                                  learn_rounds=args.learn_rounds)
+        if args.resume:
+            mgr = CheckpointManager(os.path.join(args.resume, "ckpt"))
+            carry = FT.coerce_carry(mgr.restore(carry))
+            mgr.close()
+            print(f"resumed from {args.resume} at step {carry['env_steps']}")
         t0 = time.time()
         for chunk in range(args.max_chunks):
+            # Seed = global step count: every kernel grid step gets a
+            # unique PRNG seed across chunk boundaries, and a resumed run
+            # replays the exact seed stream an uninterrupted run would
+            # use (resume == continue, tests/test_fused_trainer_recovery).
             carry = FT.fused_dqn_chunk(cfg, env_params, carry,
-                                       args.chunk_steps, seed=args.seed + chunk)
+                                       args.chunk_steps,
+                                       seed=args.seed + carry.get("steps", 0),
+                                       greedy=args.greedy_actor)
             eps = max(carry["episodes"], 1.0)
             scalars = {
                 "env_steps": carry["env_steps"],
@@ -159,10 +176,15 @@ def cmd_train(args):
             }
             writer.log(chunk, scalars)
             print(f"chunk {chunk}: {json.dumps(scalars)}", flush=True)
+            if ckpt and (chunk + 1) % args.checkpoint_every == 0:
+                ckpt.save(chunk, carry)
             if scalars["episodes"] >= args.episodes:
                 break
         save_params_npz(os.path.join(out, "params.npz"),
                         FT.t_to_params(carry["p"]))
+        if ckpt:
+            ckpt.save(args.max_chunks, carry, wait=True)
+            ckpt.close()
         writer.close()
         print(f"run saved to {out}")
         return out
@@ -228,11 +250,15 @@ def cmd_train(args):
                            "learns": int(c.learn_counter)}
     else:
         from merging_gym_tpu.agents import rainbow as R
+        mode = (D.OPP_L0 if args.opponent == "L0"
+                else D.OPP_SELFPLAY if args.opponent == "selfplay"
+                else D.OPP_FROZEN)
         cfg = R.RainbowConfig(
             memory_capacity=args.memory_capacity or 10000,
             batch_size=args.batch_size or 32, lr=args.lr or 1e-3,
-            per=args.per, n_step=args.n_step)
-        carry = R.rainbow_train_init(key, cfg, env_params, args.num_envs)
+            per=args.per, n_step=args.n_step, opponent=mode)
+        opp = _load_frozen_qnet(args.opponent) if mode == D.OPP_FROZEN else None
+        carry = R.rainbow_train_init(key, cfg, env_params, args.num_envs, opp)
         step_fn = lambda c: R.rainbow_train_chunk(cfg, env_params, c, args.chunk_steps)
         get_params = lambda c: c.params
         extra = lambda c: {"loss": float(c.last_loss)}

@@ -32,15 +32,19 @@ has no vectorized gather, so each learn consumes ONE uniformly chosen
 round slab (all n lanes of a random past step; round indices are drawn
 host-side with jax.random and streamed through SMEM) -- or, with
 ``learn_batch=B < num_envs``, one uniformly chosen disjoint B-lane
-window of that slab (a dynamic lane-aligned slice).  Every stored
-transition is sampled with equal probability (uniform marginal over
-the ring), but a batch shares a common age (and, for B < n, a common
-lane neighbourhood); the default batch size is ``num_envs``, not 128,
-while ``learn_batch=128`` restores the reference's batch scale and cuts
-the learner's matmul work by n/128.  tests/test_fused_trainer.py locks
-the learner math against jax.grad + optax.adam on CPU; learning-quality
-parity vs the XLA trainer is validated on hardware
-(docs/BENCHMARKS.md).
+window of that slab (a dynamic lane-aligned slice), or, with
+``learn_rounds=K > 1``, the concatenation of K independent
+(round, lane-window) draws of B/K lanes each.  Every stored transition
+is sampled with equal probability (uniform marginal over the ring);
+at K=1 a batch shares a common age (and, for B < n, a common lane
+neighbourhood), which K>=4 breaks at near-zero extra cost.  The default
+batch size is ``num_envs``, not 128, while ``learn_batch=128`` restores
+the reference's batch scale and cuts the learner's matmul work by
+n/128.  tests/test_fused_trainer.py locks the learner math against
+jax.grad + optax.adam on CPU; tests/test_fused_trainer_e2e.py locks the
+whole loop (actor, env, ring, gating, metrics) against an XLA reference
+in interpret mode; learning-quality parity vs the XLA trainer is
+validated on hardware (docs/BENCHMARKS.md).
 
 Store-gating note: the reference drops transitions once the ego has won
 (main.py:209-210); the slab layout keeps the ring dense, so gated lanes
@@ -53,6 +57,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -201,8 +206,8 @@ def t_to_params(pt):
 # ---------------------------------------------------------------------------
 
 def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
-            n, R, B, opp, p_greedy, num_actions, gamma, lr, target_sync,
-            mask_terminal):
+            n, R, B, K, opp, p_greedy, num_actions, gamma, lr, target_sync,
+            mask_terminal, greedy):
     # inputs: p 6, tp 6, m 6, v 6, opp 6, env 1, ring 1  (32 refs)
     # outputs: p 6, tp 6, m 6, v 6, env 1, ring 1, met 1, loss 1 (28 refs)
     ins, outs = refs[:32], refs[32:]
@@ -224,8 +229,15 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
         ring_o[:] = ring_in[:]
         met_o[:] = jnp.zeros((4, n), jnp.float32)
 
-    pltpu.prng_seed(cfg_ref[0] + i)
-    bits = pltpu.bitcast(pltpu.prng_random_bits((4, n)), jnp.uint32)
+    # Greedy mode (P(greedy)=1) never touches the on-chip PRNG, making the
+    # kernel fully deterministic given the host-supplied rounds/cols
+    # streams -- this is what lets tests/test_fused_trainer_e2e.py run the
+    # WHOLE training loop in interpret mode on CPU.
+    if greedy:
+        bits = (None,) * 4
+    else:
+        pltpu.prng_seed(cfg_ref[0] + i)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((4, n)), jnp.uint32)
 
     # --- current state ------------------------------------------------------
     env = env_o[:]
@@ -247,6 +259,8 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
     def eps_greedy(params6, x, mask_b, rand_b):
         _, _, _, _, q = _fwd(params6, x)
         best_a = _argmax0(q, num_actions)
+        if greedy:
+            return best_a
         rand = (rand_b % jnp.uint32(num_actions)).astype(jnp.int32)
         return jnp.where(mask_b < threshold, best_a, rand)
 
@@ -267,7 +281,11 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
 
     # --- replay write (round = step % R; store-gated lanes keep their old
     # row -- see module docstring) -------------------------------------------
-    r_cur = lax.rem(i, R)
+    # jnp.int32 wrap: under interpret mode with x64, bare Python ints
+    # would promote the rem to i64.  cfg_ref[4] carries the global-step
+    # ring round base so chunked launches keep overwriting the ring where
+    # the previous launch left off instead of rewinding to round 0.
+    r_cur = lax.rem(cfg_ref[4] + i, jnp.int32(R))
     store = (nwin != 1)[None, :].astype(jnp.float32)              # [1, n]
     slab = jnp.concatenate([
         obs, next_obs,
@@ -280,18 +298,25 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
 
     # --- learner (gated on ring full, main.py:213-214) ------------------------
     can_learn = (warm == 1) | (i >= R - 1)
-    lc = prior_learns + jnp.where(warm == 1, i, i - (R - 1))
+    lc = prior_learns + jnp.where(warm == 1, i, i - jnp.int32(R - 1))
 
     @pl.when(can_learn)
     def _():
-        r_s = rounds_ref[i]
-        if B == n:
-            sampled = ring_o[pl.ds(r_s * NUM_F, NUM_F), :]
+        if K == 1 and B == n:
+            sampled = ring_o[pl.ds(rounds_ref[i] * NUM_F, NUM_F), :]
         else:
-            # Random disjoint lane window: B is a static multiple of 128,
-            # so cols_ref[i] * B is provably lane-aligned for Mosaic.
-            sampled = ring_o[pl.ds(r_s * NUM_F, NUM_F),
-                             pl.ds(cols_ref[i] * B, B)]
+            # K independent (round, lane-window) draws of B/K lanes each,
+            # concatenated along lanes: K > 1 breaks the common-age /
+            # common-lane-neighbourhood correlation of a single-slab
+            # batch (every window width is a static multiple of 128, so
+            # the dynamic lane offsets stay Mosaic-aligned).
+            W = B // K
+            parts = [
+                ring_o[pl.ds(rounds_ref[i * K + k] * NUM_F, NUM_F),
+                       pl.ds(cols_ref[i * K + k] * W, W)]
+                for k in range(K)
+            ]
+            sampled = parts[0] if K == 1 else jnp.concatenate(parts, axis=1)
         batch = {
             "obs": sampled[0:10],
             "next_obs": sampled[10:20],
@@ -299,7 +324,7 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
             "reward": sampled[21],
             "done": sampled[22] > 0.5,
         }
-        sync = lax.rem(lc, target_sync) == 0
+        sync = lax.rem(lc, jnp.int32(target_sync)) == 0
         p6 = tuple(r[:] for r in p_o)
         tp6 = tuple(jnp.where(sync, pv, r[:]) for pv, r in zip(p6, tp_o))
         new_p, new_m, new_v, loss = learn_math(
@@ -344,15 +369,16 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("num_steps", "n", "R", "B", "opp", "p_greedy",
-                              "num_actions", "gamma", "lr", "target_sync",
-                              "mask_terminal"))
-def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, opp,
-          p_greedy, num_actions, gamma, lr, target_sync, mask_terminal):
+    jax.jit, static_argnames=("num_steps", "n", "R", "B", "K", "opp",
+                              "p_greedy", "num_actions", "gamma", "lr",
+                              "target_sync", "mask_terminal", "greedy"))
+def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, K, opp,
+          p_greedy, num_actions, gamma, lr, target_sync, mask_terminal,
+          greedy):
     kernel = functools.partial(
-        _kernel, n=n, R=R, B=B, opp=opp, p_greedy=p_greedy,
+        _kernel, n=n, R=R, B=B, K=K, opp=opp, p_greedy=p_greedy,
         num_actions=num_actions, gamma=gamma, lr=lr,
-        target_sync=target_sync, mask_terminal=mask_terminal)
+        target_sync=target_sync, mask_terminal=mask_terminal, greedy=greedy)
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
@@ -372,6 +398,12 @@ def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, opp,
         [whole(s.shape) for s in state_shapes]
         + [whole((ENV_ROWS, n)), whole((R * NUM_F, n)), whole((4, n)),
            whole((8, 128))])
+    # CPU-testing escape hatch: lets the CLI's fused path run under the
+    # Pallas interpreter (greedy mode only -- the TPU PRNG has no
+    # interpreter lowering), used by the kill-and-resume test.  Passed
+    # only when set so test fixtures can still inject interpret=True.
+    extra = ({"interpret": True}
+             if os.environ.get("MGT_FUSED_INTERPRET", "") == "1" else {})
     return pl.pallas_call(
         kernel, grid=(num_steps,), in_specs=in_specs,
         out_specs=out_specs, out_shape=out_shape,
@@ -379,11 +411,12 @@ def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, opp,
         # default 16MB scoped limit caps num_envs at ~8K.  v5e has 128MB.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
+        **extra,
     )(cfg, rewards_vec, rounds, cols, *arrays)
 
 
 def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None,
-                   learn_batch=None):
+                   learn_batch=None, learn_rounds=1):
     """Fresh training state for the single-kernel trainer.
 
     ``cfg``: agents.dqn.DQNConfig.  ``cfg.batch_size`` is ignored: the
@@ -399,6 +432,16 @@ def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None,
     Must be a multiple of 128 dividing ``num_envs``.  Cuts the learner's
     per-step matmul work by num_envs/learn_batch and restores a
     reference-scale batch (main.py:130 uses 128).
+
+    ``learn_rounds`` (K, default 1): number of independent
+    (round, lane-window) draws composing each learn batch.  K > 1 breaks
+    the single-slab batch's common-age (and common-lane-neighbourhood)
+    correlation -- each learn concatenates K windows of
+    ``learn_batch // K`` lanes, every one an independent uniform draw
+    over the ring, at near-zero extra cost (K dynamic slices instead of
+    one).  Requires ``learn_batch % (128 * K) == 0`` so every window
+    stays lane-aligned for Mosaic.  docs/BENCHMARKS.md quantifies the
+    learning-quality effect.
     """
     from merging_gym_tpu.nn.mlp import qnet_init
 
@@ -408,6 +451,11 @@ def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None,
     if B % 128 != 0 or num_envs % B != 0:
         raise ValueError("learn_batch must be a multiple of 128 dividing "
                          f"num_envs, got learn_batch={B} num_envs={num_envs}")
+    K = int(learn_rounds)
+    if K < 1 or B % (128 * K) != 0:
+        raise ValueError("learn_rounds must be >= 1 with learn_batch a "
+                         f"multiple of 128*learn_rounds, got learn_rounds={K} "
+                         f"learn_batch={B}")
     R = cfg.memory_capacity // num_envs
     if R < 2 or cfg.memory_capacity != R * num_envs:
         raise ValueError("memory_capacity must be k*num_envs with k>=2, got "
@@ -430,21 +478,64 @@ def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None,
     return {
         "p": p, "tp": tp, "m": zeros6, "v": zeros6, "opp": opp,
         "env": jnp.asarray(env), "ring": jnp.zeros((R * NUM_F, n), jnp.float32),
-        "R": R, "n": n, "B": B, "warm": 0, "learns": 0, "env_steps": 0,
+        "R": R, "n": n, "B": B, "K": K, "warm": 0, "learns": 0, "steps": 0,
+        "env_steps": 0,
         "episodes": 0.0, "collisions": 0.0, "wins": 0.0, "sum_ep_reward": 0.0,
         "last_loss": 0.0,
     }
 
 
-def fused_dqn_chunk(cfg, env_params, carry, num_steps, seed):
-    """Run ``num_steps`` training steps in ONE kernel launch."""
+def coerce_carry(carry):
+    """Fix types after an orbax StandardRestore roundtrip.
+
+    The carry is a plain dict whose leaves orbax restores as numpy
+    scalars/arrays and whose param 6-tuples come back as lists; the
+    kernel launch path needs Python ints for the static sizes and
+    counters.  Everything the kernel streams through HBM (params,
+    target, Adam moments, opponent, env rows, ring) round-trips
+    exactly, so a resumed run continues bit-for-bit -- locked by
+    tests/test_fused_trainer_recovery.py.
+    """
+    out = dict(carry)
+    for k in ("R", "n", "B", "warm", "learns", "steps", "env_steps"):
+        out[k] = int(out.get(k, 0))
+    out["K"] = int(out.get("K", 1))
+    for k in ("episodes", "collisions", "wins", "sum_ep_reward", "last_loss"):
+        out[k] = float(out[k])
+    for k in ("p", "tp", "m", "v", "opp"):
+        out[k] = tuple(jnp.asarray(a, jnp.float32) for a in out[k])
+    out["env"] = jnp.asarray(out["env"], jnp.float32)
+    out["ring"] = jnp.asarray(out["ring"], jnp.float32)
+    return out
+
+
+def fused_dqn_chunk(cfg, env_params, carry, num_steps, seed, *,
+                    greedy=False, rounds=None, cols=None):
+    """Run ``num_steps`` training steps in ONE kernel launch.
+
+    ``greedy=True`` makes the actor pure-argmax (P(greedy)=1) and skips
+    the on-chip PRNG entirely; combined with explicit ``rounds``/``cols``
+    sample streams (both i32 [num_steps]; default: drawn host-side from
+    ``seed``) the whole kernel is deterministic and interpret-testable on
+    CPU -- tests/test_fused_trainer_e2e.py locks it step-for-step against
+    an XLA trainer built from the independently verified components.
+    """
     R, n = carry["R"], carry["n"]
     B = carry.get("B", n)
+    K = carry.get("K", 1)
+    W = B // K
     k_r, k_c = jax.random.split(jax.random.key(seed ^ 0x5EED))
-    rounds = jax.random.randint(k_r, (num_steps,), 0, R, jnp.int32)
-    cols = jax.random.randint(k_c, (num_steps,), 0, n // B, jnp.int32)
+    if rounds is None:
+        rounds = jax.random.randint(k_r, (num_steps * K,), 0, R, jnp.int32)
+    if cols is None:
+        cols = jax.random.randint(k_c, (num_steps * K,), 0, n // W, jnp.int32)
+    rounds = jnp.asarray(rounds, jnp.int32)
+    cols = jnp.asarray(cols, jnp.int32)
+    if rounds.shape != (num_steps * K,) or cols.shape != (num_steps * K,):
+        raise ValueError("rounds/cols must be i32 [num_steps * learn_rounds]")
     cfgv = jnp.asarray([seed, env_params.max_steps, carry["warm"],
-                        carry["learns"]], jnp.int32)
+                        carry["learns"], carry.get("steps", 0) % R],
+                       jnp.int32)
     rewards_vec = jnp.asarray([
         env_params.r_first, env_params.r_second, env_params.r_collision,
         env_params.vel_penalty, env_params.time_penalty], jnp.float32)
@@ -453,9 +544,9 @@ def fused_dqn_chunk(cfg, env_params, carry, num_steps, seed):
               + [carry["env"], carry["ring"]])
     assert not env_params.random_start, "fused trainer: deterministic starts"
     out = _call(cfgv, rewards_vec, rounds, cols, tuple(arrays), num_steps,
-                n, R, B, cfg.opponent, _phi(cfg.epsilon), cfg.num_actions,
+                n, R, B, K, cfg.opponent, _phi(cfg.epsilon), cfg.num_actions,
                 float(cfg.gamma), float(cfg.lr), int(cfg.target_sync),
-                bool(cfg.mask_terminal))
+                bool(cfg.mask_terminal), bool(greedy))
     p, tp, m, v = out[0:6], out[6:12], out[12:18], out[18:24]
     env, ring, met, loss = out[24], out[25], out[26], out[27]
     met = np.asarray(met).sum(axis=1)
@@ -464,6 +555,7 @@ def fused_dqn_chunk(cfg, env_params, carry, num_steps, seed):
         **carry,
         "p": tuple(p), "tp": tuple(tp), "m": tuple(m), "v": tuple(v),
         "env": env, "ring": ring, "warm": 1,
+        "steps": carry.get("steps", 0) + num_steps,
         "learns": carry["learns"] + new_learns,
         "env_steps": carry["env_steps"] + num_steps * n,
         "episodes": carry["episodes"] + float(met[0]),

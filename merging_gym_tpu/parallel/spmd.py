@@ -332,6 +332,7 @@ def rainbow_carry_pspecs(carry):
             carry.nstep),
         sync_chunks=P(), last_loss=P(), key=P(),
         metrics=jax.tree.map(lambda _: P(), carry.metrics),
+        opp_params=rep(carry.opp_params),
     )
 
 

@@ -27,16 +27,27 @@ def main():
     args = ap.parse_args()
 
     from merging_gym_tpu.agents.evaluate import round_robin
-    from merging_gym_tpu.agents.policies import l0_policy, q_policy
+    from merging_gym_tpu.agents.policies import (l0_policy, q_policy,
+                                                 rainbow_policy)
     from merging_gym_tpu.core.env import EnvParams
     from merging_gym_tpu.io.checkpoint import load_params_npz
     from merging_gym_tpu.nn.mlp import qnet_apply, qnet_init
+    from merging_gym_tpu.nn.rainbow_net import rainbow_init
 
     like = qnet_init(jax.random.key(0), 10, 5)
+    rb_like = rainbow_init(jax.random.key(0), 10, 5)
     policies = {"L0": l0_policy()}
     for name in sorted(os.listdir(ZOO)):
         npz = os.path.join(ZOO, name, "params.npz")
-        if os.path.isdir(os.path.join(ZOO, name)) and os.path.exists(npz):
+        meta = os.path.join(ZOO, name, "meta.json")
+        if not (os.path.isdir(os.path.join(ZOO, name)) and os.path.exists(npz)):
+            continue
+        algo = "dqn"
+        if os.path.exists(meta):
+            algo = json.load(open(meta)).get("algo", "dqn")
+        if algo == "rainbow":
+            policies[name] = rainbow_policy(load_params_npz(npz, rb_like))
+        else:
             params = load_params_npz(npz, like)
             policies[name] = q_policy(qnet_apply, params, greedy=False)
     print("league over:", ", ".join(policies))

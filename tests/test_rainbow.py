@@ -4,6 +4,7 @@ layer statistics, PER sampling distribution, end-to-end training."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from merging_gym_tpu.agents import rainbow as R
 from merging_gym_tpu.core.env import EnvParams
@@ -143,3 +144,35 @@ def test_rainbow_per_nstep_end_to_end():
     carry = R.rainbow_train_chunk(cfg, env_params, carry, 48)
     assert not bool(jnp.isnan(carry.last_loss))
     assert int(carry.replay.base.cursor) > 0
+
+
+def test_rainbow_opponent_modes():
+    """L0 and frozen-Q-net opponents (the level-k workflow the DQN
+    trainer has, main.py:161-168, now first-class for Rainbow too)."""
+    from merging_gym_tpu.agents import dqn as D
+    from merging_gym_tpu.core import constants as C
+    from merging_gym_tpu.nn.mlp import qnet_init
+
+    env_params = EnvParams()
+
+    cfg = R.RainbowConfig(memory_capacity=256, batch_size=16,
+                          opponent=D.OPP_L0)
+    carry = R.rainbow_train_init(jax.random.key(2), cfg, env_params, 8)
+    p0 = carry.params
+    carry = R.rainbow_train_chunk(cfg, env_params, carry, 48)
+    assert not bool(jnp.isnan(carry.last_loss))
+    assert any(bool(jnp.any(a != b)) for a, b in
+               zip(jax.tree.leaves(p0), jax.tree.leaves(carry.params)))
+
+    opp = qnet_init(jax.random.key(3), C.OBS_DIM, C.NUM_ACTIONS)
+    cfg = R.RainbowConfig(memory_capacity=256, batch_size=16,
+                          opponent=D.OPP_FROZEN)
+    carry = R.rainbow_train_init(jax.random.key(4), cfg, env_params, 8, opp)
+    carry = R.rainbow_train_chunk(cfg, env_params, carry, 48)
+    assert not bool(jnp.isnan(carry.last_loss))
+    # Frozen params must pass through the scan untouched.
+    for a, b in zip(jax.tree.leaves(opp), jax.tree.leaves(carry.opp_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(ValueError):
+        R.rainbow_train_init(jax.random.key(5), cfg, env_params, 8)
