@@ -77,6 +77,11 @@ class HDQNConfig:
     hidden: tuple = struct.field(pytree_node=False, default=(200, 100))
     mask_terminal: bool = struct.field(pytree_node=False, default=False)
     opponent: str = struct.field(pytree_node=False, default=D.OPP_L0)
+    # Faithful default kept deliberately: the 6-seed ablation
+    # (docs/parity/ablations.json hdqn_meta, summarized in
+    # docs/parity/README.md) shows the duplicated-state meta transition
+    # does NOT destabilize training relative to the textbook transition
+    # -- both modes have the same (large, seed-dominated) variance bands.
     faithful_meta: bool = struct.field(pytree_node=False, default=True)
     # Set by parallel.spmd for data-parallel training: psum'd metrics,
     # pmean'd gradients, globally agreed learn gates.

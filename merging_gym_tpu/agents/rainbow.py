@@ -74,6 +74,13 @@ class RainbowConfig:
     # Phi(0.7)-greedy actor, main.py:105) make Rainbow trainable against
     # the level-k ladder like the DQN trainer (main.py:161-168).
     opponent: str = struct.field(pytree_node=False, default=D.OPP_SELFPLAY)
+    # Optional explicit exploration ON TOP of NoisyNet: the reference
+    # quirk ``randn() <= eps`` => P(greedy) = Phi(eps) (main.py:105)
+    # applied to the learning seat(s).  None (default) = the reference's
+    # pure noisy-greedy actor (ranbowdqn.py:543-548).  Useful because
+    # noisy-only exploration can collapse into the no-progress timeout
+    # equilibrium on this env (docs/parity/README.md, model_zoo/RB*).
+    epsilon: float | None = struct.field(pytree_node=False, default=None)
     # When set (by parallel.spmd.spmd_rainbow_chunk), gradients are
     # pmean-combined over this mesh axis so params stay replicated.
     pmean_axis: str | None = struct.field(pytree_node=False, default=None)
@@ -170,10 +177,14 @@ def rainbow_loss(params, target_params, noise, target_noise, batch, weights,
 
 def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
                        carry: RainbowCarry, _):
-    if cfg.opponent == D.OPP_FROZEN:
-        # The extra split happens only on this static branch so the
-        # self-play RNG stream stays exactly what it always was.
+    # Extra splits happen only on static branches so the default
+    # self-play RNG stream stays exactly what it always was.
+    if cfg.opponent == D.OPP_FROZEN and cfg.epsilon is not None:
+        key, k_reset, k_sample, k_act, k_eps = jax.random.split(carry.key, 5)
+    elif cfg.opponent == D.OPP_FROZEN:
         key, k_reset, k_sample, k_act = jax.random.split(carry.key, 4)
+    elif cfg.epsilon is not None:
+        key, k_reset, k_sample, k_eps = jax.random.split(carry.key, 4)
     else:
         key, k_reset, k_sample = jax.random.split(carry.key, 3)
     noise_key, k_n1, k_n2 = jax.random.split(carry.noise_key, 3)
@@ -200,6 +211,20 @@ def rainbow_train_step(cfg: RainbowConfig, env_params: EnvParams,
         # not.)
         a2 = _act(carry.params, carry.noise,
                   jnp.roll(obs, -cfg.opponent_roll, axis=-1), cfg)
+    if cfg.epsilon is not None:
+        # Phi(eps)-greedy over the noisy-greedy action (per-env draws),
+        # for the learning seat(s); frozen/L0 opponents keep their own
+        # actor semantics.
+        def explore(a, k):
+            kg, kr = jax.random.split(k)
+            return jnp.where(
+                jax.random.normal(kg) <= cfg.epsilon, a,
+                jax.random.randint(kr, (), 0, cfg.num_actions, jnp.int32))
+
+        ke1, ke2 = jax.random.split(k_eps)
+        a1 = jax.vmap(explore)(a1, jax.random.split(ke1, num_envs))
+        if cfg.opponent == D.OPP_SELFPLAY:
+            a2 = jax.vmap(explore)(a2, jax.random.split(ke2, num_envs))
     actions = jnp.stack([a1, a2], axis=-1)
     env_state, ts = autoreset_step(env_params, carry.env_state, actions, k_reset)
     next_obs_env = observe_after_reset(env_params, env_state, ts)

@@ -27,15 +27,20 @@ def _add_env_args(p):
     p.add_argument("--time-penalty", type=float, default=0.0)
     p.add_argument("--random-start", action="store_true",
                    help="randomised start states (merging_env.py:219-221)")
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="episode step cap (default: the reference's "
+                        "float-accumulated 2501, merging_env.py:141-143)")
 
 
 def _env_params(args):
     from merging_gym_tpu.core.env import EnvParams
+    extra = ({"max_steps": args.max_steps}
+             if getattr(args, "max_steps", None) else {})
     return EnvParams(r_first=args.r_first, r_second=args.r_second,
                      r_collision=args.r_collision,
                      vel_penalty=args.vel_penalty,
                      time_penalty=args.time_penalty,
-                     random_start=args.random_start)
+                     random_start=args.random_start, **extra)
 
 
 def _train_args(p):
@@ -62,6 +67,13 @@ def _train_args(p):
     p.add_argument("--out", default=None, help="run directory (default: reference-style name)")
     p.add_argument("--per", action="store_true", help="prioritised replay (rainbow)")
     p.add_argument("--n-step", type=int, default=1, help="n-step returns (rainbow)")
+    p.add_argument("--gamma", type=float, default=None,
+                   help="discount (dqn/hdqn default 0.90 main.py:15; "
+                        "rainbow default 0.99 ranbowdqn.py:593)")
+    p.add_argument("--epsilon", type=float, default=None,
+                   help="Phi(eps)-greedy exploration threshold (main.py:105; "
+                        "dqn/hdqn default 0.7; rainbow default None = the "
+                        "reference's pure noisy-greedy actor)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="orbax full-state checkpoint every N chunks (0 = end only)")
     p.add_argument("--resume", default=None,
@@ -198,6 +210,8 @@ def cmd_train(args):
             memory_capacity=args.memory_capacity or max(2000, 2 * args.num_envs),
             batch_size=args.batch_size or 128,
             lr=args.lr or 0.01,
+            gamma=args.gamma if args.gamma is not None else 0.90,
+            epsilon=args.epsilon if args.epsilon is not None else 0.7,
             hidden=tuple(args.hidden) if args.hidden else (200, 100),
             compute_dtype=args.compute_dtype)
         opp = _load_frozen_qnet(args.opponent) if mode == D.OPP_FROZEN else None
@@ -214,7 +228,9 @@ def cmd_train(args):
         cfg = H.HDQNConfig(
             opponent=mode,
             memory_capacity=args.memory_capacity or max(2000, 2 * args.num_envs),
-            batch_size=args.batch_size or 128, lr=args.lr or 0.01)
+            batch_size=args.batch_size or 128, lr=args.lr or 0.01,
+            gamma=args.gamma if args.gamma is not None else 0.90,
+            epsilon=args.epsilon if args.epsilon is not None else 0.7)
         opp_u = opp_l = None
         if mode == D.OPP_FROZEN:
             if args.opponent.endswith(".npz"):
@@ -256,7 +272,9 @@ def cmd_train(args):
         cfg = R.RainbowConfig(
             memory_capacity=args.memory_capacity or 10000,
             batch_size=args.batch_size or 32, lr=args.lr or 1e-3,
-            per=args.per, n_step=args.n_step, opponent=mode)
+            per=args.per, n_step=args.n_step, opponent=mode,
+            gamma=args.gamma if args.gamma is not None else 0.99,
+            epsilon=args.epsilon)
         opp = _load_frozen_qnet(args.opponent) if mode == D.OPP_FROZEN else None
         carry = R.rainbow_train_init(key, cfg, env_params, args.num_envs, opp)
         step_fn = lambda c: R.rainbow_train_chunk(cfg, env_params, c, args.chunk_steps)
