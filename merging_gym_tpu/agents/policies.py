@@ -98,7 +98,7 @@ def q_policy(apply_fn, params, greedy: bool = False,
 
 
 @functools.lru_cache(maxsize=None)
-def _rainbow_act(greedy: bool, epsilon: float):
+def _rainbow_act(greedy: bool, epsilon: float, obs_scale):
     from merging_gym_tpu.nn.rainbow_net import rainbow_apply, rainbow_q_values
 
     def act(p, obs, key):
@@ -107,17 +107,21 @@ def _rainbow_act(greedy: bool, epsilon: float):
         # additionally applies the Phi(eps)-greedy quirk so league play
         # from the deterministic start does not collapse to one
         # trajectory (same protocol as q_policy).
-        q = rainbow_q_values(rainbow_apply(p, obs))
+        x = obs if obs_scale is None else obs * obs_scale
+        q = rainbow_q_values(rainbow_apply(p, x))
         if greedy:
             return jnp.argmax(q, axis=-1).astype(jnp.int32)
         return eps_greedy_from_q(q, key, epsilon)
     return act
 
 
-def rainbow_policy(params, greedy: bool = False,
-                   epsilon: float = EPSILON) -> Policy:
-    """Policy over a frozen Rainbow (dueling C51 NoisyNet) checkpoint."""
-    return Policy(act=_rainbow_act(greedy, epsilon), params=params)
+def rainbow_policy(params, greedy: bool = False, epsilon: float = EPSILON,
+                   obs_scale: float | None = None) -> Policy:
+    """Policy over a frozen Rainbow (dueling C51 NoisyNet) checkpoint.
+
+    ``obs_scale`` must match the value the checkpoint was trained with
+    (RainbowConfig.obs_scale; recorded in the zoo entry's meta.json)."""
+    return Policy(act=_rainbow_act(greedy, epsilon, obs_scale), params=params)
 
 
 def two_player(policy1: Policy, policy2: Policy):

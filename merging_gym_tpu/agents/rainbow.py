@@ -81,6 +81,15 @@ class RainbowConfig:
     # noisy-only exploration can collapse into the no-progress timeout
     # equilibrium on this env (docs/parity/README.md, model_zoo/RB*).
     epsilon: float | None = struct.field(pytree_node=False, default=None)
+    # Input normalization (corrected-mode extension; None = the
+    # reference's raw observations).  The raw features are O(1e2-1e3)
+    # (positions/deltas in meters) which saturates the C51 net at torch
+    # default init scales: the dueling advantage stream collapses to a
+    # constant, every Q ties, argmax returns action 0 (target velocity
+    # 0) and the policy parks -- measured on trained checkpoints
+    # (Q = [4,4,4,4,4] at the start state).  obs_scale=0.01 keeps
+    # pre-activations O(1) and the streams alive.
+    obs_scale: float | None = struct.field(pytree_node=False, default=None)
     # When set (by parallel.spmd.spmd_rainbow_chunk), gradients are
     # pmean-combined over this mesh axis so params stay replicated.
     pmean_axis: str | None = struct.field(pytree_node=False, default=None)
@@ -144,8 +153,13 @@ def rainbow_train_init(key, cfg: RainbowConfig, env_params: EnvParams,
     )
 
 
+def _scaled(x, cfg: RainbowConfig):
+    return x if cfg.obs_scale is None else x * cfg.obs_scale
+
+
 def _act(params, noise, obs, cfg: RainbowConfig):
-    dist = rainbow_apply(params, obs, noise, cfg.num_actions, cfg.num_atoms)
+    dist = rainbow_apply(params, _scaled(obs, cfg), noise,
+                         cfg.num_actions, cfg.num_atoms)
     return jnp.argmax(rainbow_q_values(dist), axis=-1).astype(jnp.int32)
 
 
@@ -154,8 +168,8 @@ def rainbow_loss(params, target_params, noise, target_noise, batch, weights,
     sup = support()
     # Target distribution for the double-free greedy next action
     # (ranbowdqn.py:554-563: selection and evaluation both via target net).
-    next_dist = rainbow_apply(target_params, batch["next_obs"], target_noise,
-                              cfg.num_actions, cfg.num_atoms)
+    next_dist = rainbow_apply(target_params, _scaled(batch["next_obs"], cfg),
+                              target_noise, cfg.num_actions, cfg.num_atoms)
     next_q = rainbow_q_values(next_dist, sup)
     a_star = jnp.argmax(next_q, axis=-1)
     next_probs = jnp.take_along_axis(
@@ -165,7 +179,7 @@ def rainbow_loss(params, target_params, noise, target_noise, batch, weights,
                                   sup, gamma_n, cfg.faithful_c51)
     proj = jax.lax.stop_gradient(proj)
 
-    dist = rainbow_apply(params, batch["obs"], noise,
+    dist = rainbow_apply(params, _scaled(batch["obs"], cfg), noise,
                          cfg.num_actions, cfg.num_atoms)
     dist = jnp.take_along_axis(dist, batch["action"][:, None, None],
                                axis=-2)[:, 0, :]

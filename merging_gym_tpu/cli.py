@@ -74,6 +74,11 @@ def _train_args(p):
                    help="Phi(eps)-greedy exploration threshold (main.py:105; "
                         "dqn/hdqn default 0.7; rainbow default None = the "
                         "reference's pure noisy-greedy actor)")
+    p.add_argument("--obs-scale", type=float, default=None,
+                   help="rainbow: multiply observations by this before the "
+                        "net (raw O(1e2-1e3) features saturate the C51 "
+                        "streams; 0.01 keeps them alive. default None = "
+                        "faithful raw obs)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="orbax full-state checkpoint every N chunks (0 = end only)")
     p.add_argument("--resume", default=None,
@@ -274,7 +279,7 @@ def cmd_train(args):
             batch_size=args.batch_size or 32, lr=args.lr or 1e-3,
             per=args.per, n_step=args.n_step, opponent=mode,
             gamma=args.gamma if args.gamma is not None else 0.99,
-            epsilon=args.epsilon)
+            epsilon=args.epsilon, obs_scale=args.obs_scale)
         opp = _load_frozen_qnet(args.opponent) if mode == D.OPP_FROZEN else None
         carry = R.rainbow_train_init(key, cfg, env_params, args.num_envs, opp)
         step_fn = lambda c: R.rainbow_train_chunk(cfg, env_params, c, args.chunk_steps)

@@ -29,9 +29,15 @@ def main():
     ap.add_argument("--vs", default=None,
                     help="extra opponent params.npz (a ladder rung)")
     ap.add_argument("--note", default="")
+    ap.add_argument("--obs-scale", type=float, default=None,
+                    help="must match the run's RainbowConfig.obs_scale")
     ap.add_argument("--num-envs", type=int, default=256)
     ap.add_argument("--episodes", type=int, default=512)
+    ap.add_argument("--cpu", action="store_true",
+                    help="evaluate on the CPU backend (leave the TPU free)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from merging_gym_tpu.agents.evaluate import evaluate
     from merging_gym_tpu.agents.policies import l0_policy, q_policy, rainbow_policy
@@ -47,7 +53,7 @@ def main():
 
     rb_like = rainbow_init(jax.random.key(0), 10, 5)
     params = load_params_npz(os.path.join(dst, "params.npz"), rb_like)
-    me = rainbow_policy(params)
+    me = rainbow_policy(params, obs_scale=args.obs_scale)
 
     matchups = {"L0": l0_policy()}
     if args.vs:
@@ -64,7 +70,7 @@ def main():
                                  min_episodes=args.episodes).items()}
     rows = [json.loads(l) for l in open(os.path.join(args.run, "scalars.jsonl"))]
     final = rows[-1]
-    doc = {"algo": "rainbow", "note": args.note,
+    doc = {"algo": "rainbow", "note": args.note, "obs_scale": args.obs_scale,
            "training_final": {k: final[k] for k in
                               ("episodes", "env_steps", "collision_rate",
                                "win_rate", "reward", "loss")},

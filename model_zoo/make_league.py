@@ -42,11 +42,13 @@ def main():
         meta = os.path.join(ZOO, name, "meta.json")
         if not (os.path.isdir(os.path.join(ZOO, name)) and os.path.exists(npz)):
             continue
-        algo = "dqn"
+        algo, m = "dqn", {}
         if os.path.exists(meta):
-            algo = json.load(open(meta)).get("algo", "dqn")
+            m = json.load(open(meta))
+            algo = m.get("algo", "dqn")
         if algo == "rainbow":
-            policies[name] = rainbow_policy(load_params_npz(npz, rb_like))
+            policies[name] = rainbow_policy(load_params_npz(npz, rb_like),
+                                            obs_scale=m.get("obs_scale"))
         else:
             params = load_params_npz(npz, like)
             policies[name] = q_policy(qnet_apply, params, greedy=False)

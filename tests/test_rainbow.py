@@ -176,3 +176,31 @@ def test_rainbow_opponent_modes():
 
     with pytest.raises(ValueError):
         R.rainbow_train_init(jax.random.key(5), cfg, env_params, 8)
+
+
+def test_rainbow_obs_scale():
+    """obs_scale conditions the net without changing anything else: the
+    scaled config must produce finite loss and a LIVE advantage stream
+    (Q-values not all tied) where the raw-obs net is prone to collapse;
+    and rainbow_policy(obs_scale=s) must act identically to scaling the
+    obs by hand."""
+    from merging_gym_tpu.agents.policies import rainbow_policy
+
+    cfg = R.RainbowConfig(memory_capacity=256, batch_size=16,
+                          obs_scale=0.01, epsilon=0.7,
+                          opponent=__import__(
+                              'merging_gym_tpu.agents.dqn',
+                              fromlist=['OPP_L0']).OPP_L0)
+    env_params = EnvParams()
+    carry = R.rainbow_train_init(jax.random.key(6), cfg, env_params, 8)
+    carry = R.rainbow_train_chunk(cfg, env_params, carry, 48)
+    assert not bool(jnp.isnan(carry.last_loss))
+    q = rainbow_q_values(rainbow_apply(carry.params, carry.obs * 0.01,
+                                       carry.noise))
+    assert bool(jnp.any(jnp.abs(q - q[:, :1]) > 1e-6)), "Q all tied"
+
+    pol = rainbow_policy(carry.params, greedy=True, obs_scale=0.01)
+    obs = carry.obs[0]
+    a = pol.act(pol.params, obs, jax.random.key(0))
+    q1 = rainbow_q_values(rainbow_apply(carry.params, obs * 0.01))
+    assert int(a) == int(jnp.argmax(q1))
