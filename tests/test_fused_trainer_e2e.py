@@ -323,3 +323,22 @@ def test_e2e_lane_window_matches_full_slab_when_pinned():
     np.testing.assert_allclose(np.asarray(big["ring"])[:, :B],
                                np.asarray(small["ring"]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_e2e_width_generic():
+    """Non-default hidden widths (incl. non-lane-aligned 144/72): the
+    kernel's learner math is shaped by the param arrays, so production
+    widths run in the same kernel -- locked against the XLA reference."""
+    n, T = 128, 12
+    cfg = DQNConfig(lr=1e-3, gamma=0.9, target_sync=4, hidden=(144, 72),
+                    memory_capacity=2 * n, opponent=FT.OPP_L0)
+    ep = EnvParams(max_steps=25)
+    rng = np.random.default_rng(33)
+    rounds = rng.integers(0, 2, T).astype(np.int32)
+    cols = np.zeros(T, np.int32)
+
+    race = _race_start(n, seed=400)
+    carry = _mk(cfg, ep, n, None, seed=13, race=race)
+    want = _xla_reference(cfg, ep, carry, rounds, cols, race=race)
+    got = _run_kernel_chunks(cfg, ep, carry, rounds, cols, splits=[])
+    _check(cfg, ep, got, want, n)
