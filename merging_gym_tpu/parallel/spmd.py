@@ -472,3 +472,122 @@ def spmd_hdqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
                     num_steps: int):
     """Distributed hierarchical DQN over the ``data`` axis."""
     return _spmd_hdqn_chunk(cfg, env_params, carry, num_steps, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Distributed single-kernel (Pallas) DQN trainer: local-SGD over the mesh
+# ---------------------------------------------------------------------------
+# The fused trainer (ops.fused_trainer) keeps its entire state in VMEM for
+# a whole chunk, so per-STEP gradient psum -- the XLA trainers' pattern --
+# is structurally unavailable (the kernel never leaves the core).  The
+# TPU-idiomatic way to scale it is chunk-wise local SGD: every device runs
+# the full kernel on its env shard with its own sample streams, and
+# params, target params and Adam moments are pmean-averaged over ICI at
+# chunk boundaries.  At the fused trainer's chunk sizes (1K-16K steps per
+# launch) the averaging interval matches the launch cadence, so the
+# collective cost is one small all-reduce per ~10^7 env-steps.  Metric
+# lanes stay device-local and are summed on the host like the single-chip
+# path.
+
+def spmd_fused_dqn_init(key, cfg: D.DQNConfig, env_params: EnvParams,
+                        num_envs: int, mesh: Mesh, opp_params=None,
+                        learn_batch=None, learn_rounds=1):
+    """Sharded fused-trainer carry: env rows + replay ring split over the
+    ``data`` axis (lane dimension), learner state replicated.
+
+    ``num_envs`` is GLOBAL; each device runs num_envs/ndev lanes, so all
+    of ops.fused_trainer's size rules apply per device (lanes multiple of
+    128, ``learn_batch`` a per-device batch dividing the local lane
+    count).
+    """
+    from jax.sharding import NamedSharding
+
+    from merging_gym_tpu.ops import fused_trainer as FT
+
+    ndev = mesh.shape["data"]
+    if num_envs % ndev != 0:
+        raise ValueError(f"num_envs {num_envs} must divide over {ndev} devices")
+    n_local = num_envs // ndev
+    # Validate against per-device sizes, then widen the env/ring arrays to
+    # the global lane count (identical deterministic starts per lane).
+    carry = FT.fused_dqn_init(key, cfg.replace(
+        memory_capacity=cfg.memory_capacity // ndev), env_params, n_local,
+        opp_params, learn_batch=learn_batch, learn_rounds=learn_rounds)
+    env = jnp.tile(carry["env"], (1, ndev))
+    ring = jnp.zeros((carry["ring"].shape[0], num_envs), jnp.float32)
+    lanes = NamedSharding(mesh, P(None, "data"))
+    rep = NamedSharding(mesh, P())
+    carry["env"] = jax.device_put(env, lanes)
+    carry["ring"] = jax.device_put(ring, lanes)
+    for k in ("p", "tp", "m", "v", "opp"):
+        carry[k] = tuple(jax.device_put(a, rep) for a in carry[k])
+    carry["n"] = num_envs
+    carry["n_local"] = n_local
+    return carry
+
+
+def spmd_fused_dqn_chunk(mesh: Mesh, cfg: D.DQNConfig, env_params: EnvParams,
+                         carry, num_steps: int, seed: int, *, greedy=False):
+    """One fused-kernel launch per device + chunk-boundary averaging."""
+    from merging_gym_tpu.ops import fused_trainer as FT
+
+    R, B, K = carry["R"], carry["B"], carry.get("K", 1)
+    n_local = carry["n_local"]
+    W = B // K
+    base_round = carry.get("steps", 0) % R
+
+    def per_device(p, tp, m, v, opp, env, ring):
+        idx = jax.lax.axis_index("data")
+        dev_seed = jnp.int32(seed) * jnp.int32(mesh.shape["data"]) + idx
+        kd = jax.random.fold_in(jax.random.key(seed ^ 0x5EED), idx)
+        k_r, k_c = jax.random.split(kd)
+        rounds = jax.random.randint(k_r, (num_steps * K,), 0, R, jnp.int32)
+        cols = jax.random.randint(k_c, (num_steps * K,), 0, n_local // W,
+                                  jnp.int32)
+        cfgv = jnp.stack([dev_seed, jnp.int32(env_params.max_steps),
+                          jnp.int32(carry["warm"]), jnp.int32(carry["learns"]),
+                          jnp.int32(base_round)])
+        rewards_vec = jnp.asarray([
+            env_params.r_first, env_params.r_second, env_params.r_collision,
+            env_params.vel_penalty, env_params.time_penalty], jnp.float32)
+        arrays = tuple(list(p) + list(tp) + list(m) + list(v) + list(opp)
+                       + [env, ring])
+        out = FT._call(cfgv, rewards_vec, rounds, cols, arrays, num_steps,
+                       n_local, R, B, K, cfg.opponent, FT._phi(cfg.epsilon),
+                       cfg.num_actions, float(cfg.gamma), float(cfg.lr),
+                       int(cfg.target_sync), bool(cfg.mask_terminal),
+                       bool(greedy))
+        po, tpo, mo, vo = out[0:6], out[6:12], out[12:18], out[18:24]
+        env_o, ring_o, met_o, loss_o = out[24], out[25], out[26], out[27]
+        # Chunk-boundary local-SGD averaging over ICI.
+        avg = lambda t: tuple(jax.lax.pmean(a, "data") for a in t)
+        loss = jax.lax.pmean(loss_o[0, 0], "data")
+        return (avg(po), avg(tpo), avg(mo), avg(vo), env_o, ring_o, met_o,
+                loss)
+
+    rep6 = tuple(P() for _ in range(6))
+    lanes = P(None, "data")
+    out = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(rep6, rep6, rep6, rep6, rep6, lanes, lanes),
+        out_specs=(rep6, rep6, rep6, rep6, lanes, lanes, lanes, P()),
+        check_vma=False,
+    )(carry["p"], carry["tp"], carry["m"], carry["v"], carry["opp"],
+      carry["env"], carry["ring"])
+    p, tp, m, v, env, ring, met, loss = out
+    import numpy as np
+    met = np.asarray(met).sum(axis=1)
+    new_learns = num_steps if carry["warm"] else max(num_steps - (R - 1), 0)
+    return {
+        **carry,
+        "p": p, "tp": tp, "m": m, "v": v, "env": env, "ring": ring,
+        "warm": 1,
+        "steps": carry.get("steps", 0) + num_steps,
+        "learns": carry["learns"] + new_learns,
+        "env_steps": carry["env_steps"] + num_steps * carry["n"],
+        "episodes": carry["episodes"] + float(met[0]),
+        "collisions": carry["collisions"] + float(met[1]),
+        "wins": carry["wins"] + float(met[2]),
+        "sum_ep_reward": carry["sum_ep_reward"] + float(met[3]),
+        "last_loss": float(np.asarray(loss)),
+    }

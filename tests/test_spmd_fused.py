@@ -1,0 +1,99 @@
+"""Distributed fused-kernel trainer (local-SGD over the mesh).
+
+Pallas interpret mode inside shard_map on the 8-device virtual CPU mesh:
+
+* on a 1-device mesh the wrapper is EXACTLY the single-chip
+  ``fused_dqn_chunk`` (same kernel, same streams) -- locked bit-for-bit;
+* on 8 devices: params/moments stay replicated by construction, metrics
+  aggregate over all lanes, learning proceeds (params move, loss
+  finite), and the ring stays lane-sharded.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from merging_gym_tpu.agents.dqn import DQNConfig
+from merging_gym_tpu.core.env import EnvParams
+from merging_gym_tpu.ops import fused_trainer as FT
+from merging_gym_tpu.parallel.spmd import (spmd_fused_dqn_chunk,
+                                           spmd_fused_dqn_init)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(FT.pl, "pallas_call", patched)
+    yield
+
+
+def _shrink(carry):
+    carry["p"] = tuple((a - jnp.mean(a)) * 0.05 for a in carry["p"])
+    carry["tp"] = tuple((a - jnp.mean(a)) * 0.05 for a in carry["tp"])
+    carry["opp"] = carry["p"]
+    return carry
+
+
+def test_one_device_mesh_equals_single_chip():
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    n, T, seed = 128, 10, 7
+    cfg = DQNConfig(lr=1e-3, target_sync=4, memory_capacity=2 * n,
+                    opponent=FT.OPP_SELFPLAY)
+    ep = EnvParams(max_steps=25)
+
+    dist = _shrink(spmd_fused_dqn_init(jax.random.key(0), cfg, ep, n, mesh))
+    solo = _shrink(FT.fused_dqn_init(
+        jax.random.key(0), cfg.replace(memory_capacity=2 * n), ep, n))
+
+    dist = spmd_fused_dqn_chunk(mesh, cfg, ep, dist, T, seed, greedy=True)
+    # The wrapper's device stream: dev_seed = seed*ndev + idx, rounds/cols
+    # from fold_in(key(seed ^ 0x5EED), idx).
+    kd = jax.random.fold_in(jax.random.key(seed ^ 0x5EED), 0)
+    k_r, k_c = jax.random.split(kd)
+    rounds = jax.random.randint(k_r, (T,), 0, solo["R"], jnp.int32)
+    cols = jax.random.randint(k_c, (T,), 0, 1, jnp.int32)
+    solo = FT.fused_dqn_chunk(cfg, ep, solo, T, seed=seed * 1 + 0,
+                              greedy=True, rounds=rounds, cols=cols)
+
+    for k in ("p", "tp", "m", "v"):
+        for a, b in zip(dist[k], solo[k]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), k)
+    np.testing.assert_array_equal(np.asarray(dist["env"]),
+                                  np.asarray(solo["env"]))
+    np.testing.assert_array_equal(np.asarray(dist["ring"]),
+                                  np.asarray(solo["ring"]))
+    for k in ("learns", "steps", "env_steps", "episodes", "collisions",
+              "wins", "last_loss"):
+        assert dist[k] == solo[k], k
+
+
+def test_eight_device_local_sgd(devices8):
+    mesh = Mesh(np.asarray(devices8), ("data",))
+    n, T = 8 * 128, 8
+    cfg = DQNConfig(lr=1e-3, target_sync=3, memory_capacity=2 * n,
+                    opponent=FT.OPP_L0)
+    ep = EnvParams(max_steps=20)
+
+    carry = _shrink(spmd_fused_dqn_init(jax.random.key(1), cfg, ep, n, mesh))
+    p0 = carry["p"]
+    carry = spmd_fused_dqn_chunk(mesh, cfg, ep, carry, T, seed=3, greedy=True)
+    carry = spmd_fused_dqn_chunk(mesh, cfg, ep, carry, T, seed=4, greedy=True)
+
+    assert carry["env_steps"] == 2 * T * n
+    assert carry["steps"] == 2 * T
+    assert carry["learns"] == (T - 1) + T          # R=2: warm-up once
+    assert np.isfinite(carry["last_loss"])
+    assert any(bool(jnp.any(a != b)) for a, b in zip(p0, carry["p"]))
+    # Replication by construction: averaged params come back unsharded.
+    for a in carry["p"]:
+        assert a.shape[0] > 0 and not np.isnan(np.asarray(a)).any()
+    assert carry["ring"].shape == (2 * FT.NUM_F, n)
