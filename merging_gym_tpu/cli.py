@@ -124,6 +124,18 @@ def _load_frozen_qnet(path):
     raise SystemExit(f"cannot load frozen opponent from {path}")
 
 
+def _opponent_mode(args):
+    """The shared opponent-string -> (mode, frozen params) resolution
+    (main.py:161-168's Strategy_OP switch), used by every algo branch."""
+    from merging_gym_tpu.agents import dqn as D
+
+    mode = (D.OPP_L0 if args.opponent == "L0"
+            else D.OPP_SELFPLAY if args.opponent == "selfplay"
+            else D.OPP_FROZEN)
+    opp = _load_frozen_qnet(args.opponent) if mode == D.OPP_FROZEN else None
+    return mode, opp
+
+
 def cmd_train(args):
     import jax
     from merging_gym_tpu.agents import dqn as D
@@ -155,9 +167,7 @@ def cmd_train(args):
             raise SystemExit("--fused-kernel runs float32 (master state "
                              "must stay f32 on-chip); drop --compute-dtype "
                              "or the --fused-kernel flag")
-        mode = (D.OPP_L0 if args.opponent == "L0"
-                else D.OPP_SELFPLAY if args.opponent == "selfplay"
-                else D.OPP_FROZEN)
+        mode, opp = _opponent_mode(args)
         cfg = D.DQNConfig(
             opponent=mode,
             memory_capacity=args.memory_capacity or 4 * args.num_envs,
@@ -167,8 +177,9 @@ def cmd_train(args):
             # 0.5M steps/s at (512,256) and 0.36M at (1024,512), batch
             # 512 per step at 1,024 envs.
             hidden=tuple(args.hidden) if args.hidden else (200, 100),
+            gamma=args.gamma if args.gamma is not None else 0.90,
+            epsilon=args.epsilon if args.epsilon is not None else 0.7,
             lr=args.lr or 0.01)
-        opp = _load_frozen_qnet(args.opponent) if mode == D.OPP_FROZEN else None
         carry = FT.fused_dqn_init(key, cfg, env_params, args.num_envs, opp,
                                   learn_batch=args.learn_batch,
                                   learn_rounds=args.learn_rounds)
@@ -213,9 +224,7 @@ def cmd_train(args):
         return out
 
     if args.algo == "dqn":
-        mode = (D.OPP_L0 if args.opponent == "L0"
-                else D.OPP_SELFPLAY if args.opponent == "selfplay"
-                else D.OPP_FROZEN)
+        mode, opp = _opponent_mode(args)
         cfg = D.DQNConfig(
             opponent=mode,
             memory_capacity=args.memory_capacity or max(2000, 2 * args.num_envs),
@@ -225,7 +234,6 @@ def cmd_train(args):
             epsilon=args.epsilon if args.epsilon is not None else 0.7,
             hidden=tuple(args.hidden) if args.hidden else (200, 100),
             compute_dtype=args.compute_dtype)
-        opp = _load_frozen_qnet(args.opponent) if mode == D.OPP_FROZEN else None
         carry = D.train_init(key, cfg, env_params, args.num_envs, opp)
         step_fn = lambda c: D.train_chunk(cfg, env_params, c, args.chunk_steps)
         get_params = lambda c: c.dqn.params
@@ -233,9 +241,8 @@ def cmd_train(args):
                            "learns": int(c.dqn.learn_counter)}
     elif args.algo == "hdqn":
         from merging_gym_tpu.agents import hdqn as H
-        mode = (D.OPP_L0 if args.opponent == "L0"
-                else D.OPP_SELFPLAY if args.opponent == "selfplay"
-                else D.OPP_FROZEN)
+        mode, _ = _opponent_mode(args) if args.opponent in ("L0", "selfplay") \
+            else (D.OPP_FROZEN, None)
         cfg = H.HDQNConfig(
             opponent=mode,
             memory_capacity=args.memory_capacity or max(2000, 2 * args.num_envs),
@@ -277,16 +284,13 @@ def cmd_train(args):
                            "learns": int(c.learn_counter)}
     else:
         from merging_gym_tpu.agents import rainbow as R
-        mode = (D.OPP_L0 if args.opponent == "L0"
-                else D.OPP_SELFPLAY if args.opponent == "selfplay"
-                else D.OPP_FROZEN)
+        mode, opp = _opponent_mode(args)
         cfg = R.RainbowConfig(
             memory_capacity=args.memory_capacity or 10000,
             batch_size=args.batch_size or 32, lr=args.lr or 1e-3,
             per=args.per, n_step=args.n_step, opponent=mode,
             gamma=args.gamma if args.gamma is not None else 0.99,
             epsilon=args.epsilon, obs_scale=args.obs_scale)
-        opp = _load_frozen_qnet(args.opponent) if mode == D.OPP_FROZEN else None
         carry = R.rainbow_train_init(key, cfg, env_params, args.num_envs, opp)
         step_fn = lambda c: R.rainbow_train_chunk(cfg, env_params, c, args.chunk_steps)
         get_params = lambda c: c.params

@@ -217,8 +217,9 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
     env_o, ring_o, met_o, loss_o = outs[24], outs[25], outs[26], outs[27]
 
     i = pl.program_id(0)
-    warm = cfg_ref[2]   # 1 = ring already full from a previous launch
+    warm = cfg_ref[2]   # 1 = learning already started in a previous launch
     prior_learns = cfg_ref[3]
+    base = cfg_ref[4]   # global-step ring round base (steps_so_far % R)
 
     @pl.when(i == 0)
     def _():
@@ -282,10 +283,10 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
     # --- replay write (round = step % R; store-gated lanes keep their old
     # row -- see module docstring) -------------------------------------------
     # jnp.int32 wrap: under interpret mode with x64, bare Python ints
-    # would promote the rem to i64.  cfg_ref[4] carries the global-step
+    # would promote the rem to i64.  ``base`` carries the global-step
     # ring round base so chunked launches keep overwriting the ring where
     # the previous launch left off instead of rewinding to round 0.
-    r_cur = lax.rem(cfg_ref[4] + i, jnp.int32(R))
+    r_cur = lax.rem(base + i, jnp.int32(R))
     store = (nwin != 1)[None, :].astype(jnp.float32)              # [1, n]
     slab = jnp.concatenate([
         obs, next_obs,
@@ -297,8 +298,13 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
     ring_o[pl.ds(r_cur * NUM_F, NUM_F), :] = store * slab + (1.0 - store) * old
 
     # --- learner (gated on ring full, main.py:213-214) ------------------------
-    can_learn = (warm == 1) | (i >= R - 1)
-    lc = prior_learns + jnp.where(warm == 1, i, i - jnp.int32(R - 1))
+    # Learning starts once R-1 GLOBAL steps have filled the ring: when
+    # warm == 0 the prior launches stored fewer than R-1 rounds, so the
+    # prior step count IS ``base`` and the gate is base + i >= R-1 (a
+    # first chunk shorter than R-1 steps must not open the gate early --
+    # rounds beyond it would be all-zero garbage transitions).
+    can_learn = (warm == 1) | (base + i >= R - 1)
+    lc = prior_learns + jnp.where(warm == 1, i, i - (jnp.int32(R - 1) - base))
 
     @pl.when(can_learn)
     def _():
@@ -371,10 +377,11 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
 @functools.partial(
     jax.jit, static_argnames=("num_steps", "n", "R", "B", "K", "opp",
                               "p_greedy", "num_actions", "gamma", "lr",
-                              "target_sync", "mask_terminal", "greedy"))
+                              "target_sync", "mask_terminal", "greedy",
+                              "interpret"))
 def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, K, opp,
           p_greedy, num_actions, gamma, lr, target_sync, mask_terminal,
-          greedy):
+          greedy, interpret=False):
     kernel = functools.partial(
         _kernel, n=n, R=R, B=B, K=K, opp=opp, p_greedy=p_greedy,
         num_actions=num_actions, gamma=gamma, lr=lr,
@@ -398,12 +405,10 @@ def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, K, opp,
         [whole(s.shape) for s in state_shapes]
         + [whole((ENV_ROWS, n)), whole((R * NUM_F, n)), whole((4, n)),
            whole((8, 128))])
-    # CPU-testing escape hatch: lets the CLI's fused path run under the
-    # Pallas interpreter (greedy mode only -- the TPU PRNG has no
-    # interpreter lowering), used by the kill-and-resume test.  Passed
-    # only when set so test fixtures can still inject interpret=True.
-    extra = ({"interpret": True}
-             if os.environ.get("MGT_FUSED_INTERPRET", "") == "1" else {})
+    # ``interpret`` is an explicit STATIC argument (part of the jit cache
+    # key); passed only when set so test fixtures can still inject
+    # interpret=True through a pallas_call monkeypatch.
+    extra = {"interpret": True} if interpret else {}
     return pl.pallas_call(
         kernel, grid=(num_steps,), in_specs=in_specs,
         out_specs=out_specs, out_shape=out_shape,
@@ -509,6 +514,67 @@ def coerce_carry(carry):
     return out
 
 
+def launch_cfg(carry, env_params, seed):
+    """The kernel's SMEM cfg vector [seed, max_steps, warm, learns, base].
+
+    ``seed`` may be a traced value (the SPMD wrapper folds in the device
+    index).  Shared by the single-chip and distributed launch paths so
+    the cfg_ref layout has exactly one definition.
+    """
+    return jnp.stack([
+        jnp.asarray(seed, jnp.int32),
+        jnp.int32(env_params.max_steps),
+        jnp.int32(carry["warm"]),
+        jnp.int32(carry["learns"]),
+        jnp.int32(carry.get("steps", 0) % carry["R"]),
+    ])
+
+
+def rewards_cfg(env_params):
+    return jnp.asarray([
+        env_params.r_first, env_params.r_second, env_params.r_collision,
+        env_params.vel_penalty, env_params.time_penalty], jnp.float32)
+
+
+def chunk_learns(carry, num_steps):
+    """Learn count added by a ``num_steps`` launch (global-step gated)."""
+    R = carry["R"]
+    prior = carry.get("steps", 0)
+    warmup_left = 0 if carry["warm"] else max(R - 1 - prior, 0)
+    return max(num_steps - warmup_left, 0)
+
+
+def apply_chunk(carry, out, num_steps, met_sum, loss):
+    """Fold a launch's outputs back into the host-side carry dict.
+
+    Shared by fused_dqn_chunk and parallel.spmd.spmd_fused_dqn_chunk so
+    the counter semantics (warm gate, learns, ring base, metrics) have
+    one definition.
+    """
+    p, tp, m, v = out[0:6], out[6:12], out[12:18], out[18:24]
+    env, ring = out[24], out[25]
+    steps = carry.get("steps", 0) + num_steps
+    return {
+        **carry,
+        "p": tuple(p), "tp": tuple(tp), "m": tuple(m), "v": tuple(v),
+        "env": env, "ring": ring,
+        "warm": 1 if steps >= carry["R"] - 1 else 0,
+        "steps": steps,
+        "learns": carry["learns"] + chunk_learns(carry, num_steps),
+        "env_steps": carry["env_steps"] + num_steps * carry["n"],
+        "episodes": carry["episodes"] + float(met_sum[0]),
+        "collisions": carry["collisions"] + float(met_sum[1]),
+        "wins": carry["wins"] + float(met_sum[2]),
+        "sum_ep_reward": carry["sum_ep_reward"] + float(met_sum[3]),
+        "last_loss": float(loss),
+    }
+
+
+def _interpret_flag():
+    """CPU-testing escape hatch (read per call; static jit arg of _call)."""
+    return os.environ.get("MGT_FUSED_INTERPRET", "") == "1"
+
+
 def fused_dqn_chunk(cfg, env_params, carry, num_steps, seed, *,
                     greedy=False, rounds=None, cols=None):
     """Run ``num_steps`` training steps in ONE kernel launch.
@@ -533,34 +599,16 @@ def fused_dqn_chunk(cfg, env_params, carry, num_steps, seed, *,
     cols = jnp.asarray(cols, jnp.int32)
     if rounds.shape != (num_steps * K,) or cols.shape != (num_steps * K,):
         raise ValueError("rounds/cols must be i32 [num_steps * learn_rounds]")
-    cfgv = jnp.asarray([seed, env_params.max_steps, carry["warm"],
-                        carry["learns"], carry.get("steps", 0) % R],
-                       jnp.int32)
-    rewards_vec = jnp.asarray([
-        env_params.r_first, env_params.r_second, env_params.r_collision,
-        env_params.vel_penalty, env_params.time_penalty], jnp.float32)
     arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
               + list(carry["v"]) + list(carry["opp"])
               + [carry["env"], carry["ring"]])
     assert not env_params.random_start, "fused trainer: deterministic starts"
-    out = _call(cfgv, rewards_vec, rounds, cols, tuple(arrays), num_steps,
+    out = _call(launch_cfg(carry, env_params, seed), rewards_cfg(env_params),
+                rounds, cols, tuple(arrays), num_steps,
                 n, R, B, K, cfg.opponent, _phi(cfg.epsilon), cfg.num_actions,
                 float(cfg.gamma), float(cfg.lr), int(cfg.target_sync),
-                bool(cfg.mask_terminal), bool(greedy))
-    p, tp, m, v = out[0:6], out[6:12], out[12:18], out[18:24]
-    env, ring, met, loss = out[24], out[25], out[26], out[27]
-    met = np.asarray(met).sum(axis=1)
-    new_learns = num_steps if carry["warm"] else max(num_steps - (R - 1), 0)
-    return {
-        **carry,
-        "p": tuple(p), "tp": tuple(tp), "m": tuple(m), "v": tuple(v),
-        "env": env, "ring": ring, "warm": 1,
-        "steps": carry.get("steps", 0) + num_steps,
-        "learns": carry["learns"] + new_learns,
-        "env_steps": carry["env_steps"] + num_steps * n,
-        "episodes": carry["episodes"] + float(met[0]),
-        "collisions": carry["collisions"] + float(met[1]),
-        "wins": carry["wins"] + float(met[2]),
-        "sum_ep_reward": carry["sum_ep_reward"] + float(met[3]),
-        "last_loss": float(np.asarray(loss)[0, 0]),
-    }
+                bool(cfg.mask_terminal), bool(greedy),
+                interpret=_interpret_flag())
+    met = np.asarray(out[26]).sum(axis=1)
+    return apply_chunk(carry, out, num_steps, met,
+                       float(np.asarray(out[27])[0, 0]))

@@ -507,6 +507,10 @@ def spmd_fused_dqn_init(key, cfg: D.DQNConfig, env_params: EnvParams,
     ndev = mesh.shape["data"]
     if num_envs % ndev != 0:
         raise ValueError(f"num_envs {num_envs} must divide over {ndev} devices")
+    if cfg.memory_capacity % ndev != 0:
+        raise ValueError(f"memory_capacity {cfg.memory_capacity} must divide "
+                         f"over {ndev} devices (it is a GLOBAL transition "
+                         "count, split into per-device rings)")
     n_local = num_envs // ndev
     # Validate against per-device sizes, then widen the env/ring arrays to
     # the global lane count (identical deterministic starts per lane).
@@ -534,29 +538,30 @@ def spmd_fused_dqn_chunk(mesh: Mesh, cfg: D.DQNConfig, env_params: EnvParams,
     R, B, K = carry["R"], carry["B"], carry.get("K", 1)
     n_local = carry["n_local"]
     W = B // K
-    base_round = carry.get("steps", 0) % R
 
     def per_device(p, tp, m, v, opp, env, ring):
         idx = jax.lax.axis_index("data")
-        dev_seed = jnp.int32(seed) * jnp.int32(mesh.shape["data"]) + idx
+        # Per-step on-chip PRNG seeds are cfg[0] + i for i < num_steps, so
+        # devices need a stride >= num_steps to keep exploration streams
+        # disjoint within a chunk AND across consecutive chunk seeds:
+        # blocks [(seed*ndev + idx)*num_steps, ... + num_steps) tile the
+        # integers without overlap for seed = 0, 1, 2, ...
+        dev_seed = ((jnp.int32(seed) * jnp.int32(mesh.shape["data"]) + idx)
+                    * jnp.int32(num_steps))
         kd = jax.random.fold_in(jax.random.key(seed ^ 0x5EED), idx)
         k_r, k_c = jax.random.split(kd)
         rounds = jax.random.randint(k_r, (num_steps * K,), 0, R, jnp.int32)
         cols = jax.random.randint(k_c, (num_steps * K,), 0, n_local // W,
                                   jnp.int32)
-        cfgv = jnp.stack([dev_seed, jnp.int32(env_params.max_steps),
-                          jnp.int32(carry["warm"]), jnp.int32(carry["learns"]),
-                          jnp.int32(base_round)])
-        rewards_vec = jnp.asarray([
-            env_params.r_first, env_params.r_second, env_params.r_collision,
-            env_params.vel_penalty, env_params.time_penalty], jnp.float32)
+        cfgv = FT.launch_cfg(carry, env_params, dev_seed)
         arrays = tuple(list(p) + list(tp) + list(m) + list(v) + list(opp)
                        + [env, ring])
-        out = FT._call(cfgv, rewards_vec, rounds, cols, arrays, num_steps,
+        out = FT._call(cfgv, FT.rewards_cfg(env_params), rounds, cols,
+                       arrays, num_steps,
                        n_local, R, B, K, cfg.opponent, FT._phi(cfg.epsilon),
                        cfg.num_actions, float(cfg.gamma), float(cfg.lr),
                        int(cfg.target_sync), bool(cfg.mask_terminal),
-                       bool(greedy))
+                       bool(greedy), interpret=FT._interpret_flag())
         po, tpo, mo, vo = out[0:6], out[6:12], out[12:18], out[18:24]
         env_o, ring_o, met_o, loss_o = out[24], out[25], out[26], out[27]
         # Chunk-boundary local-SGD averaging over ICI.
@@ -576,18 +581,7 @@ def spmd_fused_dqn_chunk(mesh: Mesh, cfg: D.DQNConfig, env_params: EnvParams,
       carry["env"], carry["ring"])
     p, tp, m, v, env, ring, met, loss = out
     import numpy as np
+    flat = list(p) + list(tp) + list(m) + list(v) + [env, ring]
     met = np.asarray(met).sum(axis=1)
-    new_learns = num_steps if carry["warm"] else max(num_steps - (R - 1), 0)
-    return {
-        **carry,
-        "p": p, "tp": tp, "m": m, "v": v, "env": env, "ring": ring,
-        "warm": 1,
-        "steps": carry.get("steps", 0) + num_steps,
-        "learns": carry["learns"] + new_learns,
-        "env_steps": carry["env_steps"] + num_steps * carry["n"],
-        "episodes": carry["episodes"] + float(met[0]),
-        "collisions": carry["collisions"] + float(met[1]),
-        "wins": carry["wins"] + float(met[2]),
-        "sum_ep_reward": carry["sum_ep_reward"] + float(met[3]),
-        "last_loss": float(np.asarray(loss)),
-    }
+    return FT.apply_chunk(carry, flat, num_steps, met,
+                          float(np.asarray(loss)))

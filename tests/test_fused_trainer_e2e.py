@@ -242,7 +242,11 @@ def test_e2e_selfplay_full_slab():
     race = _race_start(n, seed=100)
     carry = _mk(cfg, ep, n, None, seed=0, race=race)
     want = _xla_reference(cfg, ep, carry, rounds, cols, race=race)
-    got = _run_kernel_chunks(cfg, ep, carry, rounds, cols, splits=[10])
+    # splits=[1, 10]: the FIRST chunk (1 step) is shorter than the R-1=2
+    # step ring warm-up, locking the global-step learn gate across
+    # launches (a premature warm flag would make chunk 2 learn from
+    # all-zero ring rounds).
+    got = _run_kernel_chunks(cfg, ep, carry, rounds, cols, splits=[1, 10])
     # The mid-race start makes the run cross every interesting boundary:
     assert want["met"][0] > 0, "episodes must end"
     assert want["met"][1] > 0, "collisions must occur"
