@@ -55,6 +55,9 @@ def _train_args(p):
     p.add_argument("--max-chunks", type=int, default=10000)
     p.add_argument("--chunk-steps", type=int, default=200)
     p.add_argument("--memory-capacity", type=int, default=None)
+    p.add_argument("--goal-memory-capacity", type=int, default=None,
+                   help="hdqn: meta goal-memory slots (XLA default 200, "
+                        "hdqn.py:22; fused kernel default 2*num-envs)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--hidden", type=int, nargs=2, default=None,
@@ -88,9 +91,9 @@ def _train_args(p):
                    help="regenerate curves.png every N chunks (the live "
                         "matplotlib panel analog, main.py:176-235)")
     p.add_argument("--fused-kernel", action="store_true",
-                   help="dqn only, TPU only: run the whole trainer as one "
-                        "Pallas kernel (ops.fused_trainer; learner batch = "
-                        "num-envs unless --learn-batch)")
+                   help="dqn/hdqn, TPU only: run the whole trainer as one "
+                        "Pallas kernel (ops.fused_trainer / ops.fused_hdqn; "
+                        "learner batch = num-envs unless --learn-batch)")
     p.add_argument("--learn-batch", type=int, default=None,
                    help="with --fused-kernel: lanes per learn (multiple of "
                         "128 dividing num-envs; default num-envs). 128 "
@@ -223,6 +226,68 @@ def cmd_train(args):
         print(f"run saved to {out}")
         return out
 
+    if args.algo == "hdqn" and getattr(args, "fused_kernel", False):
+        # Single-kernel hierarchical trainer (ops.fused_hdqn): both
+        # learners + both rings + option machinery as ONE pallas_call
+        # per chunk.  Faithful-meta mode, deterministic starts.
+        from merging_gym_tpu.agents import hdqn as H
+        from merging_gym_tpu.ops import fused_hdqn as FH
+
+        if env_params.random_start:
+            raise SystemExit("--fused-kernel requires deterministic starts")
+        mode, _ = _opponent_mode(args) if args.opponent in ("L0", "selfplay") \
+            else (D.OPP_FROZEN, None)
+        if mode == D.OPP_FROZEN:
+            raise SystemExit("hdqn --fused-kernel supports L0/selfplay "
+                             "opponents; use the XLA path for frozen "
+                             "hierarchical opponents")
+        cfg = H.HDQNConfig(
+            opponent=mode,
+            memory_capacity=args.memory_capacity or 4 * args.num_envs,
+            goal_memory_capacity=args.goal_memory_capacity or 2 * args.num_envs,
+            gamma=args.gamma if args.gamma is not None else 0.90,
+            epsilon=args.epsilon if args.epsilon is not None else 0.7,
+            lr=args.lr or 0.01)
+        carry = FH.fused_hdqn_init(key, cfg, env_params, args.num_envs)
+        if args.resume:
+            mgr = CheckpointManager(os.path.join(args.resume, "ckpt"))
+            carry = FH.coerce_hdqn_carry(mgr.restore(carry))
+            mgr.close()
+            print(f"resumed from {args.resume} at step {carry['env_steps']}")
+        t0 = time.time()
+        for chunk in range(args.max_chunks):
+            carry = FH.fused_hdqn_chunk(cfg, env_params, carry,
+                                        args.chunk_steps,
+                                        seed=args.seed + carry["steps"],
+                                        greedy=args.greedy_actor)
+            eps = max(carry["episodes"], 1.0)
+            scalars = {
+                "env_steps": carry["env_steps"],
+                "episodes": carry["episodes"],
+                "collision_rate": carry["collisions"] / eps,
+                "win_rate": carry["wins"] / eps,
+                "reward": carry["sum_ep_reward"] / eps,
+                "loss": carry["last_loss"],
+                "lower_learns": carry["lo_learns"],
+                "env_steps_per_sec": carry["env_steps"] / (time.time() - t0),
+            }
+            writer.log(chunk, scalars)
+            print(f"chunk {chunk}: {json.dumps(scalars)}", flush=True)
+            if ckpt and (chunk + 1) % args.checkpoint_every == 0:
+                ckpt.save(chunk, carry)
+            if scalars["episodes"] >= args.episodes:
+                break
+        from merging_gym_tpu.ops.fused_trainer import t_to_params
+        save_params_npz(os.path.join(out, "params.npz"),
+                        {"upper": t_to_params(carry["u_p"]),
+                         "lower": t_to_params(carry["l_p"])})
+        if ckpt:
+            ckpt.save(args.max_chunks, carry, wait=True)
+            ckpt.close()
+        writer.close()
+        print(f"run saved to {out}")
+        return out
+
     if args.algo == "dqn":
         mode, opp = _opponent_mode(args)
         cfg = D.DQNConfig(
@@ -246,6 +311,7 @@ def cmd_train(args):
         cfg = H.HDQNConfig(
             opponent=mode,
             memory_capacity=args.memory_capacity or max(2000, 2 * args.num_envs),
+            goal_memory_capacity=args.goal_memory_capacity or 200,
             batch_size=args.batch_size or 128, lr=args.lr or 0.01,
             gamma=args.gamma if args.gamma is not None else 0.90,
             epsilon=args.epsilon if args.epsilon is not None else 0.7)

@@ -1,0 +1,246 @@
+"""END-TO-END interpret-mode lock for the fused hierarchical DQN kernel.
+
+Same pattern as tests/test_fused_trainer_e2e.py: greedy mode +
+host-supplied sample streams make the kernel deterministic; whole
+``fused_hdqn_chunk`` launches run under the Pallas interpreter on CPU
+against a step-for-step XLA reference built from independently verified
+components (core.vector env, nn.mlp actors, agents.hdqn.goal_status,
+numpy slab rings, the autodiff-locked ``learn_math`` for both
+learners).  Covers: option boundaries with the every-step goal
+re-selection quirk, intrinsic rewards, both rings (unconditional lower
+stores; option-end-gated stale-row upper stores), the data-dependent
+upper learn counter, per-learner target-sync timing, warm continuation
+across launches including a first chunk shorter than the ring warm-up.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from merging_gym_tpu.agents.hdqn import HDQNConfig, goal_status
+from merging_gym_tpu.core import constants as C
+from merging_gym_tpu.core import env as core_env
+from merging_gym_tpu.core.env import EnvParams
+from merging_gym_tpu.core.vector import (autoreset_step, observe_after_reset,
+                                         reset_batch)
+from merging_gym_tpu.nn.mlp import qnet_apply
+from merging_gym_tpu.ops import fused_hdqn as FH
+from merging_gym_tpu.ops import fused_trainer as FT
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(FH.pl, "pallas_call", patched)
+    yield
+
+
+def _shrink6(t):
+    return tuple((a - jnp.mean(a)) * 0.05 for a in t)
+
+
+def _race(n, seed):
+    rng = np.random.default_rng(seed)
+    pos = np.stack([rng.uniform(870.0, 948.0, n),
+                    rng.uniform(870.0, 948.0, n)]).astype(np.float32)
+    vel = np.stack([rng.uniform(5.0, 40.0, n),
+                    rng.uniform(5.0, 40.0, n)]).astype(np.float32)
+    return pos, vel
+
+
+def _mk(cfg, ep, n, seed, race):
+    from merging_gym_tpu.core.geometry import lon2coord
+
+    carry = FH.fused_hdqn_init(jax.random.key(seed), cfg, ep, n)
+    for k in ("u_p", "u_tp", "l_p", "l_tp"):
+        carry[k] = _shrink6(carry[k])
+    carry["opp_u"], carry["opp_l"] = carry["u_p"], carry["l_p"]
+    pos, vel = race
+    st = np.asarray(carry["state"]).copy()
+    st[0:2], st[2:4] = pos, vel
+    x1, y1 = lon2coord(jnp.asarray(pos[0]), +1.0)
+    x2, y2 = lon2coord(jnp.asarray(pos[1]), -1.0)
+    st[4:8] = np.stack([np.asarray(x1), np.asarray(y1),
+                        np.asarray(x2), np.asarray(y2)])
+    carry["state"] = jnp.asarray(st)
+    return carry
+
+
+def _reference(cfg, ep, carry0, lo_rounds, up_rounds, race):
+    n, R_lo, R_up = carry0["n"], carry0["R_lo"], carry0["R_up"]
+    u = [carry0[k] for k in ("u_p", "u_tp", "u_m", "u_v")]
+    l = [carry0[k] for k in ("l_p", "l_tp", "l_m", "l_v")]
+    lo_ring = np.zeros((R_lo * FH.LO_F, n), np.float32)
+    up_ring = np.zeros((R_up * FH.UP_F, n), np.float32)
+    env_state = reset_batch(ep, jax.random.key(0), n, jnp.float32)
+    pos, vel = race
+    env_state = env_state.replace(pos=jnp.asarray(pos.T),
+                                  vel=jnp.asarray(vel.T))
+    obs = jax.vmap(core_env.observe)(env_state)
+    goal = np.zeros(n, np.int32)
+    extr = np.zeros(n, np.float32)
+    opt_start = np.ones(n, bool)
+    ep_rew = np.zeros(n, np.float32)
+    met = np.zeros(4, np.float64)
+    lc_lo = lc_up = 0
+    last_loss = 0.0
+
+    act = jax.jit(lambda pd, o, A: jnp.argmax(qnet_apply(pd, o)[..., :A],
+                                              axis=-1).astype(jnp.int32),
+                  static_argnums=2)
+    stepper = jax.jit(lambda s, a: autoreset_step(ep, s, a, jax.random.key(1)))
+
+    def learn(state4, batch, t, num_a):
+        p, tp, m, v = state4
+        p, m, v, loss = FT.learn_math(
+            p, tp, m, v, batch, jnp.int32(t), gamma=cfg.gamma, lr=cfg.lr,
+            num_actions=num_a, mask_terminal=cfg.mask_terminal)
+        return [p, tp, m, v], float(loss)
+
+    def with_goal(g, o):
+        return np.concatenate([np.asarray(g, np.float32)[None],
+                               np.asarray(o).T.astype(np.float32)])
+
+    T = len(lo_rounds)
+    for i in range(T):
+        u_pd = FT.t_to_params(u[0])
+        l_pd = FT.t_to_params(l[0])
+        goal_fresh = np.asarray(act(u_pd, obs, cfg.num_goals))
+        goal = np.where(opt_start, goal_fresh, goal)
+        extr = np.where(opt_start, 0.0, extr).astype(np.float32)
+
+        gobs = jnp.concatenate([jnp.asarray(goal, obs.dtype)[:, None], obs],
+                               axis=-1)
+        a1 = act(l_pd, gobs, cfg.num_actions)
+        a2 = jnp.full((n,), C.ACTION_NONE, jnp.int32)  # OPP_L0
+        env_state, ts = stepper(env_state, jnp.stack([a1, a2], axis=-1))
+
+        goal_new = np.asarray(act(u_pd, ts.obs, cfg.num_goals))
+        intrinsic = (goal_new == np.asarray(goal_status(obs))).astype(
+            np.float32)
+
+        lo_slab = np.concatenate([
+            with_goal(goal, obs), with_goal(goal_new, ts.obs),
+            np.asarray(a1, np.float32)[None], intrinsic[None],
+            np.asarray(ts.done, np.float32)[None],
+            np.zeros((FH.LO_F - 25, n), np.float32)])
+        lo_ring[(i % R_lo) * FH.LO_F:(i % R_lo + 1) * FH.LO_F] = lo_slab
+
+        if i >= R_lo - 1:
+            s = lo_ring[lo_rounds[i] * FH.LO_F:(lo_rounds[i] + 1) * FH.LO_F]
+            batch = {"obs": jnp.asarray(s[0:11]),
+                     "next_obs": jnp.asarray(s[11:22]),
+                     "action": jnp.asarray(s[22], jnp.int32),
+                     "reward": jnp.asarray(s[23]),
+                     "done": jnp.asarray(s[24] > 0.5)}
+            if lc_lo % cfg.target_sync == 0:
+                l[1] = l[0]
+            l, last_loss = learn(l, batch, lc_lo + 1, cfg.num_actions)
+            lc_lo += 1
+
+        extr = extr + np.asarray(ts.rewards[:, 0], np.float32)
+        opt_end = np.asarray(ts.done) | (
+            goal_new == np.asarray(goal_status(ts.obs)))
+        up_slab = np.concatenate([
+            np.asarray(ts.obs).T.astype(np.float32),
+            np.asarray(ts.obs).T.astype(np.float32),
+            np.asarray(goal_new, np.float32)[None], extr[None],
+            np.asarray(ts.done, np.float32)[None],
+            np.zeros((FH.UP_F - 23, n), np.float32)])
+        base = (i % R_up) * FH.UP_F
+        old = up_ring[base:base + FH.UP_F]
+        up_ring[base:base + FH.UP_F] = np.where(opt_end[None], up_slab, old)
+
+        if i >= R_up - 1 and opt_end.any():
+            s = up_ring[up_rounds[i] * FH.UP_F:(up_rounds[i] + 1) * FH.UP_F]
+            batch = {"obs": jnp.asarray(s[0:10]),
+                     "next_obs": jnp.asarray(s[10:20]),
+                     "action": jnp.asarray(s[20], jnp.int32),
+                     "reward": jnp.asarray(s[21]),
+                     "done": jnp.asarray(s[22] > 0.5)}
+            if lc_up % cfg.target_sync == 0:
+                u[1] = u[0]
+            u, _ = learn(u, batch, lc_up + 1, cfg.num_goals)
+            lc_up += 1
+
+        done = np.asarray(ts.done)
+        ep_rew = ep_rew + np.asarray(ts.rewards[:, 0])
+        won = done & (np.asarray(obs)[:, 8] > np.asarray(obs)[:, 3])
+        met += [done.sum(), np.asarray(ts.collision).sum(), won.sum(),
+                ep_rew[done].sum()]
+        ep_rew = np.where(done, 0.0, ep_rew).astype(np.float32)
+
+        obs = observe_after_reset(ep, env_state, ts)
+        goal = goal_new
+        opt_start = opt_end
+        extr = np.where(opt_end, 0.0, extr).astype(np.float32)
+
+    return {"u": u, "l": l, "lo_ring": lo_ring, "up_ring": up_ring,
+            "env_state": env_state, "goal": goal, "extr": extr,
+            "opt_start": opt_start, "ep_rew": ep_rew, "met": met,
+            "lc_lo": lc_lo, "lc_up": lc_up, "last_loss": last_loss}
+
+
+def test_fused_hdqn_e2e_vs_xla_reference():
+    n, T = 128, 26
+    cfg = HDQNConfig(lr=1e-3, gamma=0.9, target_sync=4,
+                     memory_capacity=2 * n, goal_memory_capacity=2 * n,
+                     opponent=FT.OPP_L0)
+    ep = EnvParams(max_steps=25)
+    rng = np.random.default_rng(55)
+    lo_rounds = rng.integers(0, 2, T).astype(np.int32)
+    up_rounds = rng.integers(0, 2, T).astype(np.int32)
+    race = _race(n, 500)
+
+    carry = _mk(cfg, ep, n, seed=2, race=race)
+    want = _reference(cfg, ep, carry, lo_rounds, up_rounds, race)
+
+    # Two launches: the first (1 step) is shorter than the R-1 warm-up.
+    got = carry
+    lo = 0
+    for hi in (1, T):
+        got = FH.fused_hdqn_chunk(cfg, ep, got, hi - lo, seed=0, greedy=True,
+                                  lo_rounds=lo_rounds[lo:hi],
+                                  up_rounds=up_rounds[lo:hi])
+        lo = hi
+
+    assert want["met"][0] > 0 and want["met"][2] > 0
+    assert want["lc_up"] > 0, "upper learner must fire"
+
+    st = np.asarray(got["state"])
+    es = want["env_state"]
+    np.testing.assert_allclose(st[0:2], np.asarray(es.pos).T, atol=1e-4)
+    np.testing.assert_allclose(st[2:4], np.asarray(es.vel).T, atol=1e-4)
+    np.testing.assert_array_equal(st[8].astype(np.int32),
+                                  np.asarray(es.winner))
+    np.testing.assert_array_equal(st[11].astype(np.int32), want["goal"])
+    np.testing.assert_array_equal(st[14] > 0.5, want["opt_start"])
+    np.testing.assert_allclose(st[13], want["extr"], atol=1e-4)
+    np.testing.assert_allclose(st[10], want["ep_rew"], atol=1e-4)
+    assert int(st[15][0]) == want["lc_up"]
+
+    np.testing.assert_allclose(np.asarray(got["lo_ring"]), want["lo_ring"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["up_ring"]), want["up_ring"],
+                               rtol=1e-4, atol=1e-4)
+    for name, k in (("u", ("u_p", "u_tp", "u_m", "u_v")),
+                    ("l", ("l_p", "l_tp", "l_m", "l_v"))):
+        for j, kk in enumerate(k):
+            for a, b in zip(got[kk], want[name][j]):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-3, atol=2e-4,
+                                           err_msg=f"{kk}")
+    assert got["lo_learns"] == want["lc_lo"]
+    assert got["episodes"] == want["met"][0]
+    assert got["collisions"] == want["met"][1]
+    assert got["wins"] == want["met"][2]
+    np.testing.assert_allclose(got["last_loss"], want["last_loss"],
+                               rtol=1e-3, atol=1e-6)
