@@ -244,3 +244,44 @@ def test_fused_hdqn_e2e_vs_xla_reference():
     assert got["wins"] == want["met"][2]
     np.testing.assert_allclose(got["last_loss"], want["last_loss"],
                                rtol=1e-3, atol=1e-6)
+
+
+def test_fused_hdqn_orbax_resume_equals_continue(tmp_path):
+    """The hierarchical carry round-trips through orbax and a resumed
+    run continues bit-for-bit (cf. test_fused_trainer_recovery)."""
+    from merging_gym_tpu.io.checkpoint import CheckpointManager
+
+    n, steps = 128, 6
+    cfg = HDQNConfig(lr=1e-3, target_sync=3, memory_capacity=2 * n,
+                     goal_memory_capacity=2 * n, opponent=FT.OPP_L0)
+    ep = EnvParams(max_steps=20)
+    race = _race(n, 600)
+
+    def chunks(carry, count, base_seed):
+        for _ in range(count):
+            carry = FH.fused_hdqn_chunk(cfg, ep, carry, steps,
+                                        seed=base_seed + carry["steps"],
+                                        greedy=True)
+        return carry
+
+    carry0 = _mk(cfg, ep, n, seed=4, race=race)
+    cont = chunks(dict(carry0), 3, base_seed=11)
+
+    mid = chunks(dict(carry0), 1, base_seed=11)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, mid, wait=True)
+    fresh = FH.fused_hdqn_init(jax.random.key(4), cfg, ep, n)
+    restored = FH.coerce_hdqn_carry(mgr.restore(fresh))
+    mgr.close()
+    resumed = chunks(restored, 2, base_seed=11)
+
+    for k in ("u_p", "l_p", "u_m", "l_v", "state", "lo_ring", "up_ring"):
+        a, b = cont[k], resumed[k]
+        if isinstance(a, tuple):
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y), k)
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), k)
+    for k in ("lo_learns", "steps", "env_steps", "episodes", "collisions",
+              "wins", "sum_ep_reward", "last_loss"):
+        assert cont[k] == resumed[k], k
