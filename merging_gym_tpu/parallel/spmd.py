@@ -28,7 +28,7 @@ shared key folded with the device's ``data`` coordinate, so a run on an
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any
 
 import jax
@@ -530,38 +530,46 @@ def spmd_fused_dqn_init(key, cfg: D.DQNConfig, env_params: EnvParams,
     return carry
 
 
-def spmd_fused_dqn_chunk(mesh: Mesh, cfg: D.DQNConfig, env_params: EnvParams,
-                         carry, num_steps: int, seed: int, *, greedy=False):
-    """One fused-kernel launch per device + chunk-boundary averaging."""
+@lru_cache(maxsize=None)
+def _fused_dqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
+                       B: int, K: int, opp: int, p_greedy: float,
+                       num_actions: int, gamma: float, lr: float,
+                       target_sync: int, mask_terminal: bool, greedy: bool,
+                       interpret: bool):
+    """Build (and cache) the jitted shard_map for one fused-DQN config.
+
+    All per-chunk values -- the chunk seed and the warm/learns/ring-base
+    counters -- enter as a traced i32 vector (``scal``), mirroring the
+    single-chip path's SMEM cfg vector, so consecutive chunk launches hit
+    the compile cache instead of re-lowering the Mosaic kernel (~2 min a
+    launch on the real chip).
+    """
     from merging_gym_tpu.ops import fused_trainer as FT
 
-    R, B, K = carry["R"], carry["B"], carry.get("K", 1)
-    n_local = carry["n_local"]
+    ndev = mesh.shape["data"]
     W = B // K
 
-    def per_device(p, tp, m, v, opp, env, ring):
+    def per_device(scal, rewards, p, tp, m, v, opp_p, env, ring):
         idx = jax.lax.axis_index("data")
+        seed = scal[0]
         # Per-step on-chip PRNG seeds are cfg[0] + i for i < num_steps, so
         # devices need a stride >= num_steps to keep exploration streams
         # disjoint within a chunk AND across consecutive chunk seeds:
         # blocks [(seed*ndev + idx)*num_steps, ... + num_steps) tile the
         # integers without overlap for seed = 0, 1, 2, ...
-        dev_seed = ((jnp.int32(seed) * jnp.int32(mesh.shape["data"]) + idx)
-                    * jnp.int32(num_steps))
+        dev_seed = (seed * jnp.int32(ndev) + idx) * jnp.int32(num_steps)
         kd = jax.random.fold_in(jax.random.key(seed ^ 0x5EED), idx)
         k_r, k_c = jax.random.split(kd)
         rounds = jax.random.randint(k_r, (num_steps * K,), 0, R, jnp.int32)
         cols = jax.random.randint(k_c, (num_steps * K,), 0, n_local // W,
                                   jnp.int32)
-        cfgv = FT.launch_cfg(carry, env_params, dev_seed)
-        arrays = tuple(list(p) + list(tp) + list(m) + list(v) + list(opp)
+        cfgv = jnp.stack([dev_seed, scal[1], scal[2], scal[3], scal[4]])
+        arrays = tuple(list(p) + list(tp) + list(m) + list(v) + list(opp_p)
                        + [env, ring])
-        out = FT._call(cfgv, FT.rewards_cfg(env_params), rounds, cols,
-                       arrays, num_steps,
-                       n_local, R, B, K, cfg.opponent, FT._phi(cfg.epsilon),
-                       cfg.num_actions, float(cfg.gamma), float(cfg.lr),
-                       int(cfg.target_sync), bool(cfg.mask_terminal),
-                       bool(greedy), interpret=FT._interpret_flag())
+        out = FT._call(cfgv, rewards, rounds, cols, arrays, num_steps,
+                       n_local, R, B, K, opp, p_greedy,
+                       num_actions, gamma, lr, target_sync, mask_terminal,
+                       greedy, interpret=interpret)
         po, tpo, mo, vo = out[0:6], out[6:12], out[12:18], out[18:24]
         env_o, ring_o, met_o, loss_o = out[24], out[25], out[26], out[27]
         # Chunk-boundary local-SGD averaging over ICI.
@@ -572,16 +580,166 @@ def spmd_fused_dqn_chunk(mesh: Mesh, cfg: D.DQNConfig, env_params: EnvParams,
 
     rep6 = tuple(P() for _ in range(6))
     lanes = P(None, "data")
-    out = jax.shard_map(
+    return jax.jit(jax.shard_map(
         per_device, mesh=mesh,
-        in_specs=(rep6, rep6, rep6, rep6, rep6, lanes, lanes),
+        in_specs=(P(), P(), rep6, rep6, rep6, rep6, rep6, lanes, lanes),
         out_specs=(rep6, rep6, rep6, rep6, lanes, lanes, lanes, P()),
         check_vma=False,
-    )(carry["p"], carry["tp"], carry["m"], carry["v"], carry["opp"],
-      carry["env"], carry["ring"])
+    ))
+
+
+def spmd_fused_dqn_chunk(mesh: Mesh, cfg: D.DQNConfig, env_params: EnvParams,
+                         carry, num_steps: int, seed: int, *, greedy=False):
+    """One fused-kernel launch per device + chunk-boundary averaging."""
+    from merging_gym_tpu.ops import fused_trainer as FT
+
+    R, B, K = carry["R"], carry["B"], carry.get("K", 1)
+    fn = _fused_dqn_sharded(mesh, num_steps, carry["n_local"], R, B, K,
+                            cfg.opponent, FT._phi(cfg.epsilon),
+                            cfg.num_actions, float(cfg.gamma), float(cfg.lr),
+                            int(cfg.target_sync), bool(cfg.mask_terminal),
+                            bool(greedy), FT._interpret_flag())
+    scal = jnp.asarray([seed, env_params.max_steps, carry["warm"],
+                        carry["learns"], carry.get("steps", 0) % R],
+                       jnp.int32)
+    out = fn(scal, FT.rewards_cfg(env_params), carry["p"], carry["tp"],
+             carry["m"], carry["v"], carry["opp"], carry["env"],
+             carry["ring"])
     p, tp, m, v, env, ring, met, loss = out
     import numpy as np
     flat = list(p) + list(tp) + list(m) + list(v) + [env, ring]
     met = np.asarray(met).sum(axis=1)
     return FT.apply_chunk(carry, flat, num_steps, met,
                           float(np.asarray(loss)))
+
+
+def spmd_fused_hdqn_init(key, cfg, env_params: EnvParams, num_envs: int,
+                         mesh: Mesh):
+    """Sharded fused-hdqn carry (cf. spmd_fused_dqn_init): state rows +
+    both replay rings lane-sharded over ``data``, learner state
+    replicated.  Capacities are GLOBAL transition counts."""
+    from jax.sharding import NamedSharding
+
+    from merging_gym_tpu.ops import fused_hdqn as FH
+
+    ndev = mesh.shape["data"]
+    if num_envs % ndev != 0:
+        raise ValueError(f"num_envs {num_envs} must divide over {ndev} devices")
+    for name, cap in (("memory_capacity", cfg.memory_capacity),
+                      ("goal_memory_capacity", cfg.goal_memory_capacity)):
+        if cap % ndev != 0:
+            raise ValueError(f"{name} {cap} must divide over {ndev} devices")
+    n_local = num_envs // ndev
+    carry = FH.fused_hdqn_init(
+        key, cfg.replace(memory_capacity=cfg.memory_capacity // ndev,
+                         goal_memory_capacity=cfg.goal_memory_capacity // ndev),
+        env_params, n_local)
+    lanes = NamedSharding(mesh, P(None, "data"))
+    rep = NamedSharding(mesh, P())
+    carry["state"] = jax.device_put(jnp.tile(carry["state"], (1, ndev)), lanes)
+    carry["lo_ring"] = jax.device_put(
+        jnp.zeros((carry["lo_ring"].shape[0], num_envs), jnp.float32), lanes)
+    carry["up_ring"] = jax.device_put(
+        jnp.zeros((carry["up_ring"].shape[0], num_envs), jnp.float32), lanes)
+    for k in ("u_p", "u_tp", "u_m", "u_v", "l_p", "l_tp", "l_m", "l_v",
+              "opp_u", "opp_l"):
+        carry[k] = tuple(jax.device_put(a, rep) for a in carry[k])
+    carry["n"] = num_envs
+    carry["n_local"] = n_local
+    return carry
+
+
+@lru_cache(maxsize=None)
+def _fused_hdqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R_lo: int,
+                        R_up: int, opp: int, p_greedy: float,
+                        num_actions: int, num_goals: int, gamma: float,
+                        lr: float, target_sync: int, mask_terminal: bool,
+                        greedy: bool, interpret: bool):
+    """Jitted shard_map for one fused-HDQN config (cf. _fused_dqn_sharded):
+    per-chunk seed and warm/learn/base counters are traced (``scal``), so
+    repeated chunk launches reuse one Mosaic compilation."""
+    from merging_gym_tpu.ops import fused_hdqn as FH
+    from merging_gym_tpu.ops import fused_trainer as FT
+
+    ndev = mesh.shape["data"]
+
+    def per_device(scal, rewards, u6x4, l6x4, opp_u, opp_l, state, lo_ring,
+                   up_ring):
+        idx = jax.lax.axis_index("data")
+        seed = scal[0]
+        dev_seed = (seed * jnp.int32(ndev) + idx) * jnp.int32(num_steps)
+        kd = jax.random.fold_in(jax.random.key(seed ^ 0x4D0), idx)
+        k1, k2 = jax.random.split(kd)
+        lo_rounds = jax.random.randint(k1, (num_steps,), 0, R_lo, jnp.int32)
+        up_rounds = jax.random.randint(k2, (num_steps,), 0, R_up, jnp.int32)
+        cfgv = jnp.stack([dev_seed, scal[1], scal[2], scal[3], scal[4],
+                          scal[5]])
+        arrays = tuple(sum((list(g) for g in u6x4 + l6x4), [])
+                       + list(opp_u) + list(opp_l)
+                       + [state, lo_ring, up_ring])
+        out = FH._call(cfgv, rewards, lo_rounds, up_rounds,
+                       arrays, num_steps, n_local, R_lo, R_up, opp,
+                       p_greedy, num_actions, num_goals,
+                       gamma, lr, target_sync,
+                       mask_terminal, greedy, interpret=interpret)
+        avg = lambda t: tuple(jax.lax.pmean(a, "data") for a in t)
+        groups = tuple(avg(tuple(out[k * 6:(k + 1) * 6])) for k in range(8))
+        loss = jax.lax.pmean(out[52][0, 0], "data")
+        return groups, out[48], out[49], out[50], out[51], loss
+
+    rep6 = tuple(P() for _ in range(6))
+    lanes = P(None, "data")
+    return jax.jit(jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), (rep6,) * 4, (rep6,) * 4, rep6, rep6, lanes,
+                  lanes, lanes),
+        out_specs=((rep6,) * 8, lanes, lanes, lanes, lanes, P()),
+        check_vma=False,
+    ))
+
+
+def spmd_fused_hdqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
+                          num_steps: int, seed: int, *, greedy=False):
+    """One fused-hdqn launch per device + chunk-boundary local-SGD pmean
+    of both learners' params/moments over ICI."""
+    from merging_gym_tpu.ops import fused_trainer as FT
+
+    R_lo, R_up = carry["R_lo"], carry["R_up"]
+    fn = _fused_hdqn_sharded(mesh, num_steps, carry["n_local"], R_lo, R_up,
+                             cfg.opponent, FT._phi(cfg.epsilon),
+                             cfg.num_actions, cfg.num_goals,
+                             float(cfg.gamma), float(cfg.lr),
+                             int(cfg.target_sync), bool(cfg.mask_terminal),
+                             bool(greedy), FT._interpret_flag())
+    scal = jnp.asarray([seed, env_params.max_steps, carry["warm_lo"],
+                        carry["lo_learns"], carry["steps"] % (R_lo * R_up),
+                        carry["warm_up"]], jnp.int32)
+    u6x4 = tuple(carry[k] for k in ("u_p", "u_tp", "u_m", "u_v"))
+    l6x4 = tuple(carry[k] for k in ("l_p", "l_tp", "l_m", "l_v"))
+    out = fn(scal, FT.rewards_cfg(env_params), u6x4, l6x4, carry["opp_u"],
+             carry["opp_l"], carry["state"], carry["lo_ring"],
+             carry["up_ring"])
+    groups, state, lo_ring, up_ring, met, loss = out
+    import numpy as np
+    met = np.asarray(met).sum(axis=1)
+    steps = carry["steps"] + num_steps
+    warmup_left = (0 if carry["warm_lo"]
+                   else max(R_lo - 1 - carry["steps"], 0))
+    return {
+        **carry,
+        "u_p": groups[0], "u_tp": groups[1], "u_m": groups[2],
+        "u_v": groups[3],
+        "l_p": groups[4], "l_tp": groups[5], "l_m": groups[6],
+        "l_v": groups[7],
+        "state": state, "lo_ring": lo_ring, "up_ring": up_ring,
+        "warm_lo": 1 if steps >= R_lo - 1 else 0,
+        "warm_up": 1 if steps >= R_up - 1 else 0,
+        "lo_learns": carry["lo_learns"] + max(num_steps - warmup_left, 0),
+        "steps": steps,
+        "env_steps": carry["env_steps"] + num_steps * carry["n"],
+        "episodes": carry["episodes"] + float(met[0]),
+        "collisions": carry["collisions"] + float(met[1]),
+        "wins": carry["wins"] + float(met[2]),
+        "sum_ep_reward": carry["sum_ep_reward"] + float(met[3]),
+        "last_loss": float(np.asarray(loss)),
+    }

@@ -97,3 +97,67 @@ def test_eight_device_local_sgd(devices8):
     for a in carry["p"]:
         assert a.shape[0] > 0 and not np.isnan(np.asarray(a)).any()
     assert carry["ring"].shape == (2 * FT.NUM_F, n)
+
+
+def test_hdqn_one_device_mesh_equals_single_chip():
+    from merging_gym_tpu.agents.hdqn import HDQNConfig
+    from merging_gym_tpu.ops import fused_hdqn as FH
+    from merging_gym_tpu.parallel.spmd import (spmd_fused_hdqn_chunk,
+                                               spmd_fused_hdqn_init)
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    n, T, seed = 128, 8, 9
+    cfg = HDQNConfig(lr=1e-3, target_sync=3, memory_capacity=2 * n,
+                     goal_memory_capacity=2 * n, opponent=FT.OPP_L0)
+    ep = EnvParams(max_steps=20)
+
+    def shrink(c):
+        for k in ("u_p", "u_tp", "l_p", "l_tp"):
+            c[k] = tuple((a - jnp.mean(a)) * 0.05 for a in c[k])
+        c["opp_u"], c["opp_l"] = c["u_p"], c["l_p"]
+        return c
+
+    dist = shrink(spmd_fused_hdqn_init(jax.random.key(0), cfg, ep, n, mesh))
+    solo = shrink(FH.fused_hdqn_init(jax.random.key(0), cfg, ep, n))
+
+    dist = spmd_fused_hdqn_chunk(mesh, cfg, ep, dist, T, seed, greedy=True)
+    kd = jax.random.fold_in(jax.random.key(seed ^ 0x4D0), 0)
+    k1, k2 = jax.random.split(kd)
+    lo_r = jax.random.randint(k1, (T,), 0, 2, jnp.int32)
+    up_r = jax.random.randint(k2, (T,), 0, 2, jnp.int32)
+    solo = FH.fused_hdqn_chunk(cfg, ep, solo, T, seed=seed * T, greedy=True,
+                               lo_rounds=lo_r, up_rounds=up_r)
+
+    for k in ("u_p", "l_p", "u_m", "l_v"):
+        for a, b in zip(dist[k], solo[k]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), k)
+    np.testing.assert_array_equal(np.asarray(dist["state"]),
+                                  np.asarray(solo["state"]))
+    np.testing.assert_array_equal(np.asarray(dist["lo_ring"]),
+                                  np.asarray(solo["lo_ring"]))
+    np.testing.assert_array_equal(np.asarray(dist["up_ring"]),
+                                  np.asarray(solo["up_ring"]))
+    for k in ("lo_learns", "steps", "env_steps", "episodes", "last_loss"):
+        assert dist[k] == solo[k], k
+
+
+def test_hdqn_eight_device_local_sgd(devices8):
+    from merging_gym_tpu.agents.hdqn import HDQNConfig
+    from merging_gym_tpu.parallel.spmd import (spmd_fused_hdqn_chunk,
+                                               spmd_fused_hdqn_init)
+
+    mesh = Mesh(np.asarray(devices8), ("data",))
+    n, T = 8 * 128, 6
+    cfg = HDQNConfig(lr=1e-3, target_sync=3, memory_capacity=2 * n,
+                     goal_memory_capacity=2 * n, opponent=FT.OPP_L0)
+    ep = EnvParams(max_steps=20)
+    carry = spmd_fused_hdqn_init(jax.random.key(1), cfg, ep, n, mesh)
+    for k in ("u_p", "u_tp", "l_p", "l_tp"):
+        carry[k] = tuple((a - jnp.mean(a)) * 0.05 for a in carry[k])
+    carry["opp_u"], carry["opp_l"] = carry["u_p"], carry["l_p"]
+    p0 = carry["l_p"]
+    carry = spmd_fused_hdqn_chunk(mesh, cfg, ep, carry, T, seed=5, greedy=True)
+    carry = spmd_fused_hdqn_chunk(mesh, cfg, ep, carry, T, seed=6, greedy=True)
+    assert carry["env_steps"] == 2 * T * n
+    assert np.isfinite(carry["last_loss"])
+    assert any(bool(jnp.any(a != b)) for a, b in zip(p0, carry["l_p"]))
