@@ -91,9 +91,10 @@ def _train_args(p):
                    help="regenerate curves.png every N chunks (the live "
                         "matplotlib panel analog, main.py:176-235)")
     p.add_argument("--fused-kernel", action="store_true",
-                   help="dqn/hdqn, TPU only: run the whole trainer as one "
-                        "Pallas kernel (ops.fused_trainer / ops.fused_hdqn; "
-                        "learner batch = num-envs unless --learn-batch)")
+                   help="dqn/hdqn/rainbow, TPU only: run the whole trainer "
+                        "as one Pallas kernel (ops.fused_trainer / "
+                        "ops.fused_hdqn / ops.fused_rainbow; learner batch "
+                        "= num-envs unless --learn-batch, dqn only)")
     p.add_argument("--learn-batch", type=int, default=None,
                    help="with --fused-kernel: lanes per learn (multiple of "
                         "128 dividing num-envs; default num-envs). 128 "
@@ -150,6 +151,9 @@ def cmd_train(args):
         raise SystemExit("--hidden/--compute-dtype are wired into the dqn "
                          f"trainer only; --algo {args.algo} would silently "
                          "ignore them (drop the flags or use --algo dqn)")
+    if getattr(args, "fused_kernel", False) and args.algo == "drqn":
+        raise SystemExit("--fused-kernel covers dqn/hdqn/rainbow; drqn runs "
+                         "on the XLA path only")
     env_params = _env_params(args)
     out = args.out or run_dir_name(f" {args.algo}", args.opponent,
                                    env_params.reward_tuple())
@@ -281,6 +285,69 @@ def cmd_train(args):
         save_params_npz(os.path.join(out, "params.npz"),
                         {"upper": t_to_params(carry["u_p"]),
                          "lower": t_to_params(carry["l_p"])})
+        if ckpt:
+            ckpt.save(args.max_chunks, carry, wait=True)
+            ckpt.close()
+        writer.close()
+        print(f"run saved to {out}")
+        return out
+
+    if args.algo == "rainbow" and getattr(args, "fused_kernel", False):
+        # Single-kernel Rainbow trainer (ops.fused_rainbow): noisy dueling
+        # C51 actor + env + uniform slab ring + hand-backprop learner +
+        # on-chip noise resampling + episodic target sync as ONE
+        # pallas_call per chunk.  The reference configuration only
+        # (uniform ring, 1-step); PER / n-step stay on the XLA path.
+        from merging_gym_tpu.agents import rainbow as R
+        from merging_gym_tpu.ops import fused_rainbow as FRB
+
+        if env_params.random_start:
+            raise SystemExit("--fused-kernel requires deterministic starts")
+        if args.per or args.n_step != 1:
+            raise SystemExit("rainbow --fused-kernel is the reference "
+                             "configuration (uniform ring, 1-step); drop "
+                             "--per/--n-step or the --fused-kernel flag")
+        if args.learn_batch or args.learn_rounds != 1:
+            raise SystemExit("--learn-batch/--learn-rounds are dqn-only "
+                             "fused options")
+        mode, opp = _opponent_mode(args)
+        cfg = R.RainbowConfig(
+            opponent=mode,
+            memory_capacity=args.memory_capacity or 8 * args.num_envs,
+            gamma=args.gamma if args.gamma is not None else 0.99,
+            epsilon=args.epsilon, obs_scale=args.obs_scale,
+            lr=args.lr or 1e-3)
+        carry = FRB.fused_rainbow_init(key, cfg, env_params, args.num_envs,
+                                       opp)
+        if args.resume:
+            mgr = CheckpointManager(os.path.join(args.resume, "ckpt"))
+            carry = FRB.coerce_rainbow_carry(mgr.restore(carry))
+            mgr.close()
+            print(f"resumed from {args.resume} at step {carry['env_steps']}")
+        t0 = time.time()
+        for chunk in range(args.max_chunks):
+            carry = FRB.fused_rainbow_chunk(cfg, env_params, carry,
+                                            args.chunk_steps,
+                                            seed=args.seed + carry["steps"],
+                                            greedy=args.greedy_actor)
+            eps = max(carry["episodes"], 1.0)
+            scalars = {
+                "env_steps": carry["env_steps"],
+                "episodes": carry["episodes"],
+                "collision_rate": carry["collisions"] / eps,
+                "win_rate": carry["wins"] / eps,
+                "reward": carry["sum_ep_reward"] / eps,
+                "loss": carry["last_loss"], "learns": carry["learns"],
+                "env_steps_per_sec": carry["env_steps"] / (time.time() - t0),
+            }
+            writer.log(chunk, scalars)
+            print(f"chunk {chunk}: {json.dumps(scalars)}", flush=True)
+            if ckpt and (chunk + 1) % args.checkpoint_every == 0:
+                ckpt.save(chunk, carry)
+            if scalars["episodes"] >= args.episodes:
+                break
+        save_params_npz(os.path.join(out, "params.npz"),
+                        FRB.rainbow_packed_to_params(carry["p"]))
         if ckpt:
             ckpt.save(args.max_chunks, carry, wait=True)
             ckpt.close()

@@ -1,6 +1,7 @@
 """Pallas TPU kernel: the ENTIRE hierarchical DQN trainer as one kernel.
 
-Completes the single-kernel family (cf. ops.fused_trainer for flat DQN):
+Third member of the single-kernel family (cf. ops.fused_trainer for
+flat DQN, ops.fused_rainbow for C51+NoisyNet+Dueling):
 T training steps of the two-timescale h-DQN of scripts/hdqn.py run as
 the Pallas grid with EVERY component resident on-chip --
 

@@ -1,0 +1,725 @@
+"""Pallas TPU kernel: the ENTIRE Rainbow (C51+NoisyNet+Dueling) trainer
+as one kernel -- the fourth and final single-kernel trainer family
+(cf. ops.fused_trainer for flat DQN, ops.fused_hdqn for hierarchical).
+
+T training steps of the reference Rainbow loop (scripts/ranbowdqn.py:
+623-700) run as the Pallas grid with every component on-chip:
+
+  * actor: noisy-greedy argmax of E[Z] (ranbowdqn.py:543-548) for ego
+    and the self-play opponent on the rolled view (ranbowdqn.py:669;
+    ``opponent_roll`` as in agents.rainbow), optional Phi(eps)-greedy
+    wrap and L0 / frozen-MLP opponents (the agents.rainbow extensions);
+  * env: ops.fused_rollout._env_step_math (locked to core.env.step);
+  * replay: an R-round slab ring, stored unconditionally every step
+    (ranbowdqn.py:673 -- Rainbow has no winner store-gating), sampled
+    uniformly over the *filled* prefix so learning starts after one
+    round like the reference's fill>batch gate (ranbowdqn.py:682);
+  * learner: C51 cross-entropy on the clamped selected-action
+    distribution vs the categorically projected target (selection AND
+    evaluation through the target net, ranbowdqn.py:554-600), with the
+    faithful support-weighted mass quirk of ops.projection; hand-derived
+    backprop through clamp, softmax, the dueling combine and all four
+    noisy layers (d(sigma) = dW * eps), plus full Adam -- params, target
+    params, both moments and both nets' noise resident on-chip;
+  * noise: factorized sign(x)*sqrt(|x|) noise regenerated for BOTH nets
+    via the on-chip PRNG after every learn (reset_noise,
+    ranbowdqn.py:606-607); during warm-up the acting noise stays fixed;
+  * target sync: hard copy every ``target_sync_episodes`` completed
+    episodes (ranbowdqn.py:690-691), via an on-chip global episode
+    counter (a replicated state row + the chunk-prior count in SMEM).
+
+Parameter packing: the four noisy layers' [out, in] tensors are packed
+row-wise into single [464, 64] blocks -- value1 rows 0:64, value2 rows
+64:120 (51 real atoms padded to 56), advantage1 rows 120:184,
+advantage2 rows 184:464 (5 actions x 56-padded atoms) -- so every
+static slice stays sublane-aligned for Mosaic and each net is 8 arrays
+(2 trunk w/b + packed mu w/b + packed sigma w/b) instead of 20.  Pad
+rows carry zero mu/sigma/bias and receive zero gradients, so they stay
+exactly zero through Adam.
+
+The C51 projection uses the hat-function identity: atom k's mass lands
+on atom i with weight clip(1 - |b_k - i|, 0, 1), which equals the
+reference's floor/ceil split everywhere and gives weight 1 at integer
+b_k; ``faithful_c51`` multiplies by (floor(b_k) != ceil(b_k)) to
+reproduce the reference's integer-hit mass loss (ranbowdqn.py:572-580,
+see ops.projection).
+
+Sampling deviation (same family as ops.fused_trainer, documented
+there): each learn consumes one uniformly chosen whole round slab
+(all n lanes of one past step) instead of 32 i.i.d. draws; the uniform
+marginal over stored transitions is kept.  PER and n-step stay on the
+XLA path (agents.rainbow) -- this kernel is the reference's actual
+configuration (uniform ring, 1-step, ranbowdqn.py:645-647).
+
+``greedy=True`` skips the on-chip PRNG entirely: the actor is the pure
+argmax it already was, and the noise stays at whatever the carry
+holds -- with host-pinned noise and round streams the whole kernel is
+deterministic, which is what lets tests/test_fused_rainbow.py lock
+whole chunks against an XLA reference in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from merging_gym_tpu.core import constants as C
+from merging_gym_tpu.core.geometry import lon2coord
+from merging_gym_tpu.nn.rainbow_net import NUM_ATOMS, V_MAX, V_MIN
+from merging_gym_tpu.ops.fused_rollout import _env_step_math
+from merging_gym_tpu.ops.fused_trainer import (ADAM_B1, ADAM_B2, ADAM_EPS,
+                                               NUM_F, OPP_FROZEN, OPP_L0,
+                                               OPP_SELFPLAY, _argmax0, _fwd,
+                                               _interpret_flag, _mm, _mm_nt,
+                                               _mm_tn, _phi, params_to_t,
+                                               rewards_cfg)
+
+A = 5                 # actions (asserted against cfg)
+ATOMS = NUM_ATOMS     # 51
+AP = 56               # atoms padded to a sublane multiple
+TRUNK0, TRUNK1 = 32, 64   # ranbowdqn.py:508-509
+# Packed noisy-block row offsets: value1, value2, advantage1, advantage2.
+OFF_V1, OFF_V2, OFF_A1, OFF_A2 = 0, 64, 120, 184
+NP = OFF_A2 + A * AP  # 464 packed rows
+ENV_ROWS = 12         # pos 2, vel 2, xy 4, winner, t, ep_reward, sync_chunks
+DELTA_Z = (V_MAX - V_MIN) / (ATOMS - 1)
+
+
+def _row_iota():
+    return lax.broadcasted_iota(jnp.int32, (AP, 1), 0)
+
+
+def _atom_mask():
+    return (_row_iota() < ATOMS).astype(jnp.float32)      # [AP, 1]
+
+
+def _support_col():
+    """Padded support column [AP, 1]; pad rows 0 (their mass is 0)."""
+    i = _row_iota().astype(jnp.float32)
+    return _atom_mask() * (V_MIN + DELTA_Z * i)
+
+
+# ---------------------------------------------------------------------------
+# Packing: nn.rainbow_net param/noise PyTrees <-> the kernel's 8/2-tuples.
+# ---------------------------------------------------------------------------
+
+_SEGS = (("noisy_value1", OFF_V1, TRUNK1),
+         ("noisy_value2", OFF_V2, ATOMS),
+         ("noisy_advantage1", OFF_A1, TRUNK1))
+
+
+def _a2_rows(a):
+    return OFF_A2 + a * AP
+
+
+def rainbow_params_to_packed(params):
+    """nn.rainbow_net param dict -> (t0T, t0b, t1T, t1b, nmuT, nmub,
+    nsgT, nsgb); noisy [out, in] blocks packed per the module layout."""
+    def col(x):
+        return jnp.asarray(x, jnp.float32)[:, None]
+
+    t0T = jnp.asarray(params["linear1"]["w"], jnp.float32).T
+    t1T = jnp.asarray(params["linear2"]["w"], jnp.float32).T
+    nmuT = jnp.zeros((NP, TRUNK1), jnp.float32)
+    nsgT = jnp.zeros((NP, TRUNK1), jnp.float32)
+    nmub = jnp.zeros((NP, 1), jnp.float32)
+    nsgb = jnp.zeros((NP, 1), jnp.float32)
+    for name, off, rows in _SEGS:
+        p = params[name]
+        nmuT = nmuT.at[off:off + rows].set(jnp.asarray(p["w_mu"]).T)
+        nsgT = nsgT.at[off:off + rows].set(jnp.asarray(p["w_sigma"]).T)
+        nmub = nmub.at[off:off + rows].set(col(p["b_mu"]))
+        nsgb = nsgb.at[off:off + rows].set(col(p["b_sigma"]))
+    p = params["noisy_advantage2"]
+    wmuT, wsgT = jnp.asarray(p["w_mu"]).T, jnp.asarray(p["w_sigma"]).T
+    bmu, bsg = col(p["b_mu"]), col(p["b_sigma"])
+    for a in range(A):
+        r = _a2_rows(a)
+        nmuT = nmuT.at[r:r + ATOMS].set(wmuT[a * ATOMS:(a + 1) * ATOMS])
+        nsgT = nsgT.at[r:r + ATOMS].set(wsgT[a * ATOMS:(a + 1) * ATOMS])
+        nmub = nmub.at[r:r + ATOMS].set(bmu[a * ATOMS:(a + 1) * ATOMS])
+        nsgb = nsgb.at[r:r + ATOMS].set(bsg[a * ATOMS:(a + 1) * ATOMS])
+    return (t0T, col(params["linear1"]["b"]), t1T, col(params["linear2"]["b"]),
+            nmuT, nmub, nsgT, nsgb)
+
+
+def rainbow_packed_to_params(p8):
+    """Inverse of :func:`rainbow_params_to_packed`."""
+    t0T, t0b, t1T, t1b, nmuT, nmub, nsgT, nsgb = p8
+    out = {"linear1": {"w": t0T.T, "b": t0b[:, 0]},
+           "linear2": {"w": t1T.T, "b": t1b[:, 0]}}
+    for name, off, rows in _SEGS:
+        out[name] = {"w_mu": nmuT[off:off + rows].T,
+                     "w_sigma": nsgT[off:off + rows].T,
+                     "b_mu": nmub[off:off + rows, 0],
+                     "b_sigma": nsgb[off:off + rows, 0]}
+    wmuT = jnp.concatenate([nmuT[_a2_rows(a):_a2_rows(a) + ATOMS]
+                            for a in range(A)])
+    wsgT = jnp.concatenate([nsgT[_a2_rows(a):_a2_rows(a) + ATOMS]
+                            for a in range(A)])
+    out["noisy_advantage2"] = {
+        "w_mu": wmuT.T, "w_sigma": wsgT.T,
+        "b_mu": jnp.concatenate([nmub[_a2_rows(a):_a2_rows(a) + ATOMS, 0]
+                                 for a in range(A)]),
+        "b_sigma": jnp.concatenate([nsgb[_a2_rows(a):_a2_rows(a) + ATOMS, 0]
+                                    for a in range(A)]),
+    }
+    return out
+
+
+def rainbow_noise_to_packed(noise):
+    """nn.rainbow_net noise PyTree -> (epsT [NP, 64], epsb [NP, 1])."""
+    epsT = jnp.zeros((NP, TRUNK1), jnp.float32)
+    epsb = jnp.zeros((NP, 1), jnp.float32)
+    for name, off, rows in _SEGS:
+        epsT = epsT.at[off:off + rows].set(jnp.asarray(noise[name]["w_eps"]).T)
+        epsb = epsb.at[off:off + rows].set(
+            jnp.asarray(noise[name]["b_eps"], jnp.float32)[:, None])
+    weT = jnp.asarray(noise["noisy_advantage2"]["w_eps"]).T
+    be = jnp.asarray(noise["noisy_advantage2"]["b_eps"], jnp.float32)[:, None]
+    for a in range(A):
+        r = _a2_rows(a)
+        epsT = epsT.at[r:r + ATOMS].set(weT[a * ATOMS:(a + 1) * ATOMS])
+        epsb = epsb.at[r:r + ATOMS].set(be[a * ATOMS:(a + 1) * ATOMS])
+    return epsT, epsb
+
+
+# ---------------------------------------------------------------------------
+# Forward + learner math (pure jnp on env-last [rows, n] layout; shared by
+# the kernel and the CPU parity tests, like fused_trainer.learn_math).
+# ---------------------------------------------------------------------------
+
+def _rb_fwd(p8, eps2, x):
+    """Full forward on scaled obs x [10, n] -> dict of intermediates.
+
+    dists: list of A [AP, n] softmax distributions (pad rows exactly 0).
+    """
+    t0T, t0b, t1T, t1b, nmuT, nmub, nsgT, nsgb = p8
+    epsT, epsb = eps2
+    W = nmuT + nsgT * epsT
+    B = nmub + nsgb * epsb
+    z1 = _mm(t0T, x) + t0b
+    h1 = jnp.maximum(z1, 0.0)
+    z2 = _mm(t1T, h1) + t1b
+    h2 = jnp.maximum(z2, 0.0)
+    zv1 = _mm(W[OFF_V1:OFF_V1 + TRUNK1], h2) + B[OFF_V1:OFF_V1 + TRUNK1]
+    hv1 = jnp.maximum(zv1, 0.0)
+    zv2 = _mm(W[OFF_V2:OFF_V2 + AP], hv1) + B[OFF_V2:OFF_V2 + AP]   # [AP, n]
+    za1 = _mm(W[OFF_A1:OFF_A1 + TRUNK1], h2) + B[OFF_A1:OFF_A1 + TRUNK1]
+    ha1 = jnp.maximum(za1, 0.0)
+    za2 = _mm(W[OFF_A2:], ha1) + B[OFF_A2:]                          # [A*AP, n]
+
+    adv = [za2[a * AP:(a + 1) * AP] for a in range(A)]
+    mean_adv = sum(adv) * (1.0 / A)
+    amask = _atom_mask()
+    dists = []
+    for a in range(A):
+        logits = zv2 + adv[a] - mean_adv
+        lm = jnp.max(jnp.where(amask > 0.5, logits, -1e30), axis=0,
+                     keepdims=True)
+        e = amask * jnp.exp(logits - lm)
+        dists.append(e / jnp.sum(e, axis=0, keepdims=True))
+    return {"W": W, "z1": z1, "h1": h1, "z2": z2, "h2": h2, "zv1": zv1,
+            "hv1": hv1, "za1": za1, "ha1": ha1, "dists": dists}
+
+
+def _rb_q(dists):
+    """E[Z] per action from A [AP, n] distributions -> [A, n]."""
+    zsup = _support_col()
+    return jnp.stack([jnp.sum(d * zsup, axis=0) for d in dists])
+
+
+def _projection(next_probs, reward, done, gamma, faithful):
+    """Categorical projection on [AP, n] layout (ops.projection semantics,
+    hat-function form -- see module docstring)."""
+    zsup = _support_col()
+    mass = next_probs * zsup if faithful else next_probs
+    nd = 1.0 - done.astype(jnp.float32)
+    tz = jnp.clip(reward[None, :] + nd[None, :] * gamma * zsup,
+                  V_MIN, V_MAX)
+    b = (tz - V_MIN) * (1.0 / DELTA_Z)
+    if faithful:
+        mass = mass * (jnp.floor(b) != jnp.ceil(b)).astype(jnp.float32)
+    rows = [jnp.sum(mass * jnp.maximum(0.0, 1.0 - jnp.abs(b - float(i))),
+                    axis=0) for i in range(ATOMS)]
+    rows += [jnp.zeros_like(rows[0])] * (AP - ATOMS)
+    return jnp.stack(rows)                                           # [AP, n]
+
+
+def rainbow_learn_math(p, tp, m, v, eps, teps, batch, t, *, gamma, lr,
+                       obs_scale, faithful):
+    """One C51 + Adam step; returns (new_p, new_m, new_v, loss).
+
+    ``batch``: obs [10, n], action i32 [n], reward [n], next_obs [10, n],
+    done bool [n] (raw obs; scaling applied here).  ``t``: 1-based Adam
+    step.  Mirrors agents.rainbow.rainbow_loss + optax.adam exactly
+    (locked by tests/test_fused_rainbow.py).
+    """
+    scale = 1.0 if obs_scale is None else float(obs_scale)
+    x = batch["obs"] * scale
+    xn = batch["next_obs"] * scale
+    n = x.shape[1]
+
+    # Target path: selection AND evaluation via the target net
+    # (ranbowdqn.py:554-563), then categorical projection.
+    ft = _rb_fwd(tp, teps, xn)
+    q_t = ft["dists"]
+    star = _argmax0(_rb_q(q_t), A)                                   # [n]
+    next_probs = sum(q_t[a] * (star == a).astype(jnp.float32)[None, :]
+                     for a in range(A))
+    proj = _projection(next_probs, batch["reward"], batch["done"],
+                       gamma, faithful)
+
+    # Online forward + selected-action distribution, clamped (:595-600).
+    f = _rb_fwd(p, eps, x)
+    a1h = [(batch["action"] == a).astype(jnp.float32)[None, :]
+           for a in range(A)]
+    dist_sel = sum(f["dists"][a] * a1h[a] for a in range(A))         # [AP, n]
+    clipped = jnp.clip(dist_sel, 0.01, 0.99)
+    # log of pad rows (exact 0 -> clipped 0.01) is finite; proj pad = 0.
+    ce = -jnp.sum(proj * jnp.log(clipped), axis=0)
+    loss = jnp.mean(ce)
+
+    # --- hand backprop -----------------------------------------------------
+    inr = ((dist_sel > 0.01) & (dist_sel < 0.99)).astype(jnp.float32)
+    g = -(proj / clipped) * inr * (1.0 / n)                          # [AP, n]
+    s = jnp.sum(g * dist_sel, axis=0, keepdims=True)
+    dl = dist_sel * g - dist_sel * s          # dlogits of the selected action
+    # Dueling: dvalue = sum_a dlogits_a = dl; dadv_a = (1{a=a1} - 1/A) dl.
+    dzv2 = dl
+    dza2 = jnp.concatenate([(a1h[a] - 1.0 / A) * dl for a in range(A)])
+
+    W = f["W"]
+    hv1, ha1, h2, h1 = f["hv1"], f["ha1"], f["h2"], f["h1"]
+    dWv2 = _mm_nt(dzv2, hv1)
+    dbv2 = jnp.sum(dzv2, axis=1, keepdims=True)
+    dhv1 = _mm_tn(W[OFF_V2:OFF_V2 + AP], dzv2)
+    dzv1 = dhv1 * (f["zv1"] > 0.0).astype(jnp.float32)
+    dWv1 = _mm_nt(dzv1, h2)
+    dbv1 = jnp.sum(dzv1, axis=1, keepdims=True)
+
+    dWa2 = _mm_nt(dza2, ha1)
+    dba2 = jnp.sum(dza2, axis=1, keepdims=True)
+    dha1 = _mm_tn(W[OFF_A2:], dza2)
+    dza1 = dha1 * (f["za1"] > 0.0).astype(jnp.float32)
+    dWa1 = _mm_nt(dza1, h2)
+    dba1 = jnp.sum(dza1, axis=1, keepdims=True)
+
+    dh2 = (_mm_tn(W[OFF_V1:OFF_V1 + TRUNK1], dzv1)
+           + _mm_tn(W[OFF_A1:OFF_A1 + TRUNK1], dza1))
+    t0T, _, t1T, _, _, _, _, _ = p
+    dz2 = dh2 * (f["z2"] > 0.0).astype(jnp.float32)
+    dW1T = _mm_nt(dz2, h1)
+    db1 = jnp.sum(dz2, axis=1, keepdims=True)
+    dz1 = _mm_tn(t1T, dz2) * (f["z1"] > 0.0).astype(jnp.float32)
+    dW0T = _mm_nt(dz1, x)
+    db0 = jnp.sum(dz1, axis=1, keepdims=True)
+
+    dnW = jnp.concatenate([dWv1, dWv2, dWa1, dWa2])                  # [NP, 64]
+    dnb = jnp.concatenate([dbv1, dbv2, dba1, dba2])
+    epsT, epsb = eps
+    grads = (dW0T, db0, dW1T, db1, dnW, dnb, dnW * epsT, dnb * epsb)
+
+    tf = t.astype(jnp.float32)
+    c1 = 1.0 - jnp.exp(tf * math.log(ADAM_B1))
+    c2 = 1.0 - jnp.exp(tf * math.log(ADAM_B2))
+    new_p, new_m, new_v = [], [], []
+    for pi, mi, vi, gi in zip(p, m, v, grads):
+        mi = ADAM_B1 * mi + (1.0 - ADAM_B1) * gi
+        vi = ADAM_B2 * vi + (1.0 - ADAM_B2) * gi * gi
+        upd = lr * (mi / c1) / (jnp.sqrt(vi / c2) + ADAM_EPS)
+        new_p.append(pi - upd)
+        new_m.append(mi)
+        new_v.append(vi)
+    return tuple(new_p), tuple(new_m), tuple(new_v), loss
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _f_scale(x):
+    """sign(x) * sqrt(|x|) (ranbowdqn.py:493-496)."""
+    return jnp.sign(x) * jnp.sqrt(jnp.abs(x))
+
+
+def _normals(shape):
+    """Box-Muller standard normals via the on-chip PRNG (cf.
+    ops.fused_policy_rollout's randomized-start path; two 2D draws --
+    Mosaic PRNG shapes stay 2D)."""
+    u = []
+    for _ in range(2):
+        rs = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        u.append(pltpu.bitcast(rs >> 8, jnp.int32).astype(jnp.float32)
+                 * (1.0 / 16777216.0))
+    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[0], 1e-7)))
+    return r * jnp.cos((2.0 * 3.14159265358979) * u[1])
+
+
+def _fresh_eps():
+    """One net's factorized noise: per layer, outer(f(eps_out), f(eps_in))
+    packed into [NP, 64], plus an independent bias column [NP, 1]
+    (reset_noise, ranbowdqn.py:486-491,537-541)."""
+    segs = []
+    for rows in (TRUNK1, AP, TRUNK1, A * AP):
+        fin = _f_scale(_normals((1, TRUNK1)))
+        fout = _f_scale(_normals((rows, 1)))
+        segs.append(fout * fin)
+    return jnp.concatenate(segs), _f_scale(_normals((NP, 1)))
+
+
+def _kernel(cfg_ref, rewards_ref, rounds_ref, *refs,
+            n, R, opp, roll, p_greedy, has_eps, gamma, lr, sync_eps,
+            obs_scale, faithful, greedy):
+    # inputs: p 8, tp 8, m 8, v 8, eps 2, teps 2, opp 6, env 1, ring 1 (44)
+    # outputs: p 8, tp 8, m 8, v 8, eps 2, teps 2, env 1, ring 1, met 1,
+    #          loss 1  (40)
+    ins, outs = refs[:44], refs[44:]
+    p_in, tp_in, m_in, v_in = ins[0:8], ins[8:16], ins[16:24], ins[24:32]
+    eps_in, teps_in = ins[32:34], ins[34:36]
+    opp_in, env_in, ring_in = ins[36:42], ins[42], ins[43]
+    p_o, tp_o, m_o, v_o = outs[0:8], outs[8:16], outs[16:24], outs[24:32]
+    eps_o, teps_o = outs[32:34], outs[34:36]
+    env_o, ring_o, met_o, loss_o = outs[36], outs[37], outs[38], outs[39]
+
+    i = pl.program_id(0)
+    warm = cfg_ref[2]
+    prior_learns = cfg_ref[3]
+    base = cfg_ref[4]        # prior steps % R (== prior steps while warm==0)
+    prior_eps = cfg_ref[5]   # completed episodes before this chunk
+
+    @pl.when(i == 0)
+    def _():
+        for dst, src in zip(p_o + tp_o + m_o + v_o + eps_o + teps_o,
+                            p_in + tp_in + m_in + v_in + eps_in + teps_in):
+            dst[:] = src[:]
+        env_o[:] = env_in[:]
+        ring_o[:] = ring_in[:]
+        met_o[:] = jnp.zeros((4, n), jnp.float32)
+
+    if not greedy:
+        pltpu.prng_seed(cfg_ref[0] + i)
+    if has_eps and not greedy:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((4, n)), jnp.uint32)
+    else:
+        bits = (None,) * 4
+    if opp == OPP_FROZEN and not greedy:
+        fbits = pltpu.bitcast(pltpu.prng_random_bits((2, n)), jnp.uint32)
+    else:
+        fbits = (None, None)
+
+    # --- current state -------------------------------------------------------
+    env = env_o[:]
+    pos, vel = env[0:2], env[2:4]
+    x1, y1, x2, y2 = env[4], env[5], env[6], env[7]
+    winner = env[8].astype(jnp.int32)
+    tcnt = env[9].astype(jnp.int32)
+    ep_rew = env[10]
+    synced = env[11]        # replicated f32 scalar row: target-sync chunks
+
+    obs = jnp.stack([
+        x2 - x1, y2 - y1, vel[1] - vel[0], C.END_POINT - pos[0], vel[0],
+        x1 - x2, y1 - y2, vel[0] - vel[1], C.END_POINT - pos[1], vel[1],
+    ])
+    scale = 1.0 if obs_scale is None else float(obs_scale)
+
+    # --- actor: noisy-greedy argmax of E[Z] (ranbowdqn.py:543-548) -----------
+    p_now = tuple(r[:] for r in p_o)
+    eps_now = tuple(r[:] for r in eps_o)
+
+    def act(x):
+        return _argmax0(_rb_q(_rb_fwd(p_now, eps_now, x * scale)["dists"]), A)
+
+    threshold = jnp.uint32(min(int(p_greedy * 4294967296.0), 4294967295))
+
+    def explore(a, mask_b, rand_b):
+        if greedy or not has_eps:
+            return a
+        rand = (rand_b % jnp.uint32(A)).astype(jnp.int32)
+        return jnp.where(mask_b < threshold, a, rand)
+
+    a1 = explore(act(obs), bits[0], bits[1])
+    if opp == OPP_L0:
+        a2 = jnp.full((n,), C.ACTION_NONE, jnp.int32)
+    elif opp == OPP_SELFPLAY:
+        # state[roll:] + state[:roll] (ranbowdqn.py:669; roll=5 correct,
+        # 3 reproduces the reference bug -- agents.rainbow.opponent_roll).
+        obs2 = jnp.concatenate([obs[roll:], obs[:roll]])
+        a2 = explore(act(obs2), bits[2], bits[3])
+    else:
+        # Frozen MLP ladder rung through the Phi(0.7)-greedy actor
+        # (agents.rainbow's opponent="frozen" extension; main.py:105).
+        obs2 = jnp.concatenate([obs[5:], obs[:5]])
+        _, _, _, _, q2 = _fwd(tuple(r[:] for r in opp_in), obs2)
+        best2 = _argmax0(q2, A)
+        if greedy:
+            a2 = best2
+        else:
+            thr70 = jnp.uint32(int(_phi(0.7) * 4294967296.0))
+            rnd2 = (fbits[1] % jnp.uint32(A)).astype(jnp.int32)
+            a2 = jnp.where(fbits[0] < thr70, best2, rnd2)
+    actions = jnp.stack([a1, a2])
+
+    # --- env step --------------------------------------------------------------
+    rcfg = tuple(rewards_ref[k] for k in range(5))
+    npos, nvel, nwin, ntcnt, done, col, rewards, next_obs, coords = \
+        _env_step_math(pos, vel, winner, tcnt, jnp.zeros((n,), bool),
+                       actions, rcfg, cfg_ref[1])
+
+    # --- replay write: unconditional (ranbowdqn.py:673) ------------------------
+    r_cur = lax.rem(base + i, jnp.int32(R))
+    slab = jnp.concatenate([
+        obs, next_obs,
+        jnp.stack([a1.astype(jnp.float32), rewards[0],
+                   done.astype(jnp.float32),
+                   jnp.zeros((n,), jnp.float32)]),
+    ])
+    ring_o[pl.ds(r_cur * NUM_F, NUM_F), :] = slab
+
+    # --- learner (gate: >= 2 stored rounds, the vectorised fill>batch of
+    # ranbowdqn.py:682; rounds_ref is host-drawn within the filled prefix) ----
+    can_learn = (warm == 1) | (base + i >= 1)
+    lc = prior_learns + jnp.where(warm == 1, i, i - (jnp.int32(1) - base))
+
+    @pl.when(can_learn)
+    def _():
+        s = ring_o[pl.ds(rounds_ref[i] * NUM_F, NUM_F), :]
+        batch = {"obs": s[0:10], "next_obs": s[10:20],
+                 "action": s[20].astype(jnp.int32), "reward": s[21],
+                 "done": s[22] > 0.5}
+        new_p, new_m, new_v, loss = rainbow_learn_math(
+            tuple(r[:] for r in p_o), tuple(r[:] for r in tp_o),
+            tuple(r[:] for r in m_o), tuple(r[:] for r in v_o),
+            tuple(r[:] for r in eps_o), tuple(r[:] for r in teps_o),
+            batch, lc + 1, gamma=gamma, lr=lr, obs_scale=obs_scale,
+            faithful=faithful)
+        for dst, val in zip(p_o + m_o + v_o, new_p + new_m + new_v):
+            dst[:] = val
+        loss_o[:] = jnp.full((8, 128), loss, jnp.float32)
+        # reset_noise on both nets AFTER the update (ranbowdqn.py:606-607);
+        # during warm-up the acting noise stays fixed, as in the reference.
+        if not greedy:
+            for dst, val in zip(eps_o, _fresh_eps()):
+                dst[:] = val
+            for dst, val in zip(teps_o, _fresh_eps()):
+                dst[:] = val
+
+    @pl.when(jnp.logical_not(can_learn))
+    def _():
+        loss_o[:] = jnp.zeros((8, 128), jnp.float32)
+
+    # --- metrics ----------------------------------------------------------------
+    ep_rew = ep_rew + rewards[0]
+    won = done & (obs[8] > obs[3])
+    met_now = met_o[:] + jnp.stack([
+        done.astype(jnp.float32), col.astype(jnp.float32),
+        won.astype(jnp.float32), jnp.where(done, ep_rew, 0.0)])
+    met_o[:] = met_now
+    ep_rew = jnp.where(done, 0.0, ep_rew)
+
+    # --- episodic target sync (ranbowdqn.py:690-691): hard copy when the
+    # global completed-episode count crosses a sync_eps boundary ---------------
+    ep_total = prior_eps.astype(jnp.float32) + jnp.sum(met_now[0])
+    chunks = jnp.floor(ep_total * (1.0 / sync_eps))
+    do_sync = chunks > synced[0]
+
+    @pl.when(do_sync)
+    def _():
+        for dst, src in zip(tp_o, p_o):
+            dst[:] = src[:]
+
+    synced = jnp.maximum(synced, chunks)
+
+    # --- auto-reset + writeback --------------------------------------------------
+    reset = done[None, :]
+    sp = jnp.full((n,), C.START_POINT, jnp.float32)
+    x1r, y1r = lon2coord(sp, +1.0)
+    x2r, y2r = lon2coord(sp, -1.0)
+    env_o[0:2] = jnp.where(reset, C.START_POINT, npos)
+    env_o[2:4] = jnp.where(reset, C.START_VEL, nvel)
+    env_o[4:8] = jnp.where(reset, jnp.stack([x1r, y1r, x2r, y2r]), coords)
+    env_o[8] = jnp.where(done, 0, nwin).astype(jnp.float32)
+    env_o[9] = jnp.where(done, 0, ntcnt).astype(jnp.float32)
+    env_o[10] = ep_rew
+    env_o[11] = synced
+
+
+# ---------------------------------------------------------------------------
+# Host API
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("num_steps", "n", "R", "opp", "roll",
+                              "p_greedy", "has_eps", "gamma", "lr",
+                              "sync_eps", "obs_scale", "faithful", "greedy",
+                              "interpret"))
+def _call(cfg, rewards_vec, rounds, arrays, num_steps, n, R, opp, roll,
+          p_greedy, has_eps, gamma, lr, sync_eps, obs_scale, faithful,
+          greedy, interpret=False):
+    kernel = functools.partial(
+        _kernel, n=n, R=R, opp=opp, roll=roll, p_greedy=p_greedy,
+        has_eps=has_eps, gamma=gamma, lr=lr, sync_eps=sync_eps,
+        obs_scale=obs_scale, faithful=faithful, greedy=greedy)
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+                + [whole(a.shape) for a in arrays])
+    state_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                    for a in arrays[:36]]          # p, tp, m, v, eps, teps
+    out_shape = tuple(
+        state_shapes
+        + [jax.ShapeDtypeStruct((ENV_ROWS, n), jnp.float32),
+           jax.ShapeDtypeStruct((R * NUM_F, n), jnp.float32),
+           jax.ShapeDtypeStruct((4, n), jnp.float32),
+           jax.ShapeDtypeStruct((8, 128), jnp.float32)])
+    out_specs = tuple(
+        [whole(s.shape) for s in state_shapes]
+        + [whole((ENV_ROWS, n)), whole((R * NUM_F, n)), whole((4, n)),
+           whole((8, 128))])
+    extra = {"interpret": True} if interpret else {}
+    return pl.pallas_call(
+        kernel, grid=(num_steps,), in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        **extra,
+    )(cfg, rewards_vec, rounds, *arrays)
+
+
+def fused_rainbow_init(key, cfg, env_params, num_envs, opp_params=None):
+    """Fresh training state for the single-kernel Rainbow trainer.
+
+    ``cfg``: agents.rainbow.RainbowConfig.  ``cfg.batch_size`` is
+    ignored (the learner batch is one ``num_envs``-lane slab);
+    ``cfg.memory_capacity`` must be k*num_envs with k>=2; PER and
+    n-step>1 stay on the XLA path (module docstring).
+    """
+    from merging_gym_tpu.nn.rainbow_net import rainbow_init, rainbow_sample_noise
+
+    if cfg.per or cfg.n_step != 1:
+        raise ValueError("fused_rainbow supports the reference configuration "
+                         "only (uniform ring, 1-step); use agents.rainbow "
+                         "for per/n_step")
+    if cfg.num_actions != A or cfg.num_atoms != ATOMS:
+        raise ValueError(f"fused_rainbow is compiled for {A} actions x "
+                         f"{ATOMS} atoms")
+    if num_envs % 128 != 0:
+        raise ValueError(f"num_envs must be a multiple of 128, got {num_envs}")
+    R = cfg.memory_capacity // num_envs
+    if R < 2 or cfg.memory_capacity != R * num_envs:
+        raise ValueError("memory_capacity must be k*num_envs with k>=2, got "
+                         f"capacity={cfg.memory_capacity} num_envs={num_envs}")
+    if (cfg.opponent == OPP_FROZEN) != (opp_params is not None):
+        raise ValueError("opp_params must be given exactly when "
+                         f"opponent='frozen' (got {cfg.opponent!r})")
+    k_net, k_n1, k_n2 = jax.random.split(jax.random.fold_in(key, 2), 3)
+    p = rainbow_params_to_packed(
+        rainbow_init(k_net, cfg.obs_dim, cfg.num_actions, cfg.num_atoms))
+    z = tuple(jnp.zeros_like(a) for a in p)
+    opp = (params_to_t(opp_params) if opp_params is not None
+           else tuple(jnp.zeros((1, 1), jnp.float32) for _ in range(6)))
+    # The frozen-opponent MLP refs must exist even when unused; keep them
+    # tiny in L0/selfplay mode.
+    n = num_envs
+    env = np.zeros((ENV_ROWS, n), np.float32)
+    env[0:2] = C.START_POINT
+    env[2:4] = C.START_VEL
+    sp = jnp.full((n,), jnp.float32(C.START_POINT))
+    x1, y1 = lon2coord(sp, +1.0)
+    x2, y2 = lon2coord(sp, -1.0)
+    env[4:8] = np.stack([np.asarray(x1), np.asarray(y1),
+                         np.asarray(x2), np.asarray(y2)])
+    return {
+        "p": p, "tp": p, "m": z, "v": z,  # update_target at init (:648)
+        "eps": rainbow_noise_to_packed(
+            rainbow_sample_noise(k_n1, cfg.num_actions, cfg.num_atoms)),
+        "teps": rainbow_noise_to_packed(
+            rainbow_sample_noise(k_n2, cfg.num_actions, cfg.num_atoms)),
+        "opp": opp,
+        "env": jnp.asarray(env), "ring": jnp.zeros((R * NUM_F, n), jnp.float32),
+        "R": R, "n": n, "warm": 0, "learns": 0, "steps": 0, "env_steps": 0,
+        "episodes": 0.0, "collisions": 0.0, "wins": 0.0, "sum_ep_reward": 0.0,
+        "last_loss": 0.0,
+    }
+
+
+def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
+                        greedy=False, rounds=None):
+    """Run ``num_steps`` Rainbow training steps in ONE kernel launch.
+
+    ``rounds`` (i32 [num_steps], default host-drawn from ``seed``): the
+    per-step uniform round draw, each within the ring's filled prefix at
+    that step.  ``greedy=True`` freezes the noise and skips the PRNG
+    (module docstring) -- the e2e determinism mode.
+    """
+    R, n = carry["R"], carry["n"]
+    if rounds is None:
+        u = jax.random.uniform(jax.random.key(seed ^ 0x51C),
+                               (num_steps,), jnp.float32)
+        # Rounds stored after step i's write = min(prior_steps + i + 1, R).
+        fill = jnp.minimum(jnp.asarray(carry["steps"], jnp.int32)
+                           + jnp.arange(num_steps, dtype=jnp.int32) + 1, R)
+        rounds = jnp.floor(u * fill.astype(jnp.float32)).astype(jnp.int32)
+        rounds = jnp.minimum(rounds, fill - 1)
+    rounds = jnp.asarray(rounds, jnp.int32)
+    if rounds.shape != (num_steps,):
+        raise ValueError("rounds must be i32 [num_steps]")
+    assert not env_params.random_start, "fused rainbow: deterministic starts"
+    cfgv = jnp.asarray([seed, env_params.max_steps, carry["warm"],
+                        carry["learns"], carry["steps"] % R,
+                        int(carry["episodes"])], jnp.int32)
+    arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
+              + list(carry["v"]) + list(carry["eps"]) + list(carry["teps"])
+              + list(carry["opp"]) + [carry["env"], carry["ring"]])
+    has_eps = cfg.epsilon is not None
+    out = _call(cfgv, rewards_cfg(env_params), rounds, tuple(arrays),
+                num_steps, n, R, cfg.opponent, int(cfg.opponent_roll),
+                _phi(cfg.epsilon) if has_eps else 1.0, has_eps,
+                float(cfg.gamma), float(cfg.lr),
+                float(cfg.target_sync_episodes),
+                None if cfg.obs_scale is None else float(cfg.obs_scale),
+                bool(cfg.faithful_c51), bool(greedy),
+                interpret=_interpret_flag())
+    p, tp, m, v = out[0:8], out[8:16], out[16:24], out[24:32]
+    eps, teps = out[32:34], out[34:36]
+    env, ring, met_r, loss = out[36], out[37], out[38], out[39]
+    met = np.asarray(met_r).sum(axis=1)
+    steps = carry["steps"] + num_steps
+    warmup_left = 0 if carry["warm"] else max(1 - carry["steps"], 0)
+    return {
+        **carry,
+        "p": tuple(p), "tp": tuple(tp), "m": tuple(m), "v": tuple(v),
+        "eps": tuple(eps), "teps": tuple(teps),
+        "env": env, "ring": ring,
+        "warm": 1 if steps >= 1 else 0,
+        "steps": steps,
+        "learns": carry["learns"] + max(num_steps - warmup_left, 0),
+        "env_steps": carry["env_steps"] + num_steps * n,
+        "episodes": carry["episodes"] + float(met[0]),
+        "collisions": carry["collisions"] + float(met[1]),
+        "wins": carry["wins"] + float(met[2]),
+        "sum_ep_reward": carry["sum_ep_reward"] + float(met[3]),
+        "last_loss": float(np.asarray(loss)[0, 0]),
+    }
+
+
+def coerce_rainbow_carry(carry):
+    """Fix types after an orbax StandardRestore roundtrip (cf.
+    ops.fused_trainer.coerce_carry); a resumed run continues exactly."""
+    out = dict(carry)
+    for k in ("R", "n", "warm", "learns", "steps", "env_steps"):
+        out[k] = int(out[k])
+    for k in ("episodes", "collisions", "wins", "sum_ep_reward", "last_loss"):
+        out[k] = float(out[k])
+    for k in ("p", "tp", "m", "v", "eps", "teps", "opp"):
+        out[k] = tuple(jnp.asarray(a, jnp.float32) for a in out[k])
+    out["env"] = jnp.asarray(out["env"], jnp.float32)
+    out["ring"] = jnp.asarray(out["ring"], jnp.float32)
+    return out

@@ -1,0 +1,413 @@
+"""Locks for the fused Rainbow trainer kernel (ops.fused_rainbow).
+
+Three layers, mirroring the fused-DQN evidence chain:
+
+  1. packing roundtrip + forward parity: the kernel's packed
+     [464, 64]-block forward (`_rb_fwd`) against nn.rainbow_net's
+     ``rainbow_apply`` (a different layout and matmul order), with
+     noise;
+  2. learner-math lock: the hand-derived backprop through CE ->
+     clamp -> softmax -> dueling -> noisy layers -> trunk plus Adam
+     (`rainbow_learn_math`) against jax.grad(agents.rainbow.rainbow_loss)
+     + optax.adam, faithful and textbook C51, with obs_scale;
+  3. end-to-end interpret-mode lock: whole ``fused_rainbow_chunk``
+     launches (actor, env, unconditional ring, fill-prefix learn gating,
+     episodic target sync, metrics, auto-reset, warm continuation)
+     against a step-for-step XLA reference built from the independently
+     verified components, in greedy (PRNG-free, fixed-noise) mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from merging_gym_tpu.agents.rainbow import RainbowConfig, rainbow_loss
+from merging_gym_tpu.core import constants as C
+from merging_gym_tpu.core import env as core_env
+from merging_gym_tpu.core.env import EnvParams
+from merging_gym_tpu.core.vector import (autoreset_step, observe_after_reset,
+                                         reset_batch)
+from merging_gym_tpu.nn.rainbow_net import (rainbow_apply, rainbow_init,
+                                            rainbow_q_values,
+                                            rainbow_sample_noise)
+from merging_gym_tpu.ops import fused_rainbow as FR
+from merging_gym_tpu.ops import fused_trainer as FT
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(FR.pl, "pallas_call", patched)
+    yield
+
+
+def _params_noise(seed):
+    kp, kn, kt = jax.random.split(jax.random.key(seed), 3)
+    params = rainbow_init(kp, 10, 5)
+    noise = rainbow_sample_noise(kn, 5)
+    tnoise = rainbow_sample_noise(kt, 5)
+    return params, noise, tnoise
+
+
+def test_packed_roundtrip_and_forward_parity():
+    params, noise, _ = _params_noise(0)
+    p8 = FR.rainbow_params_to_packed(params)
+    back = FR.rainbow_packed_to_params(p8)
+    for name in params:
+        for k in params[name]:
+            np.testing.assert_array_equal(np.asarray(params[name][k]),
+                                          np.asarray(back[name][k]),
+                                          err_msg=f"{name}.{k}")
+
+    n = 64
+    x = jax.random.normal(jax.random.key(9), (n, 10), jnp.float32) * 3.0
+    eps2 = FR.rainbow_noise_to_packed(noise)
+    dists = FR._rb_fwd(p8, eps2, jnp.asarray(x.T))["dists"]
+    ref = rainbow_apply(params, x, noise)                 # [n, A, atoms]
+    for a in range(5):
+        np.testing.assert_allclose(
+            np.asarray(dists[a][:FR.ATOMS]), np.asarray(ref[:, a, :]).T,
+            rtol=1e-5, atol=1e-7, err_msg=f"dist[{a}]")
+        # Pad rows are exactly zero.
+        np.testing.assert_array_equal(np.asarray(dists[a][FR.ATOMS:]),
+                                      np.zeros((FR.AP - FR.ATOMS, n)))
+    q = FR._rb_q(dists)
+    np.testing.assert_allclose(np.asarray(q),
+                               np.asarray(rainbow_q_values(ref)).T,
+                               rtol=1e-4, atol=5e-6)
+
+
+@pytest.mark.parametrize("faithful,obs_scale", [(True, 0.01), (False, None)])
+def test_learn_math_matches_autodiff(faithful, obs_scale):
+    import optax
+
+    params, noise, tnoise = _params_noise(1)
+    tparams, _, _ = _params_noise(2)
+    cfg = RainbowConfig(lr=1e-3, gamma=0.9, faithful_c51=faithful,
+                        obs_scale=obs_scale)
+    n = 128
+    rng = np.random.default_rng(5)
+    batch_bn = {
+        "obs": jnp.asarray(rng.normal(0, 30, (n, 10)), jnp.float32),
+        "next_obs": jnp.asarray(rng.normal(0, 30, (n, 10)), jnp.float32),
+        "action": jnp.asarray(rng.integers(0, 5, n), jnp.int32),
+        "reward": jnp.asarray(rng.normal(0, 2, n), jnp.float32),
+        "done": jnp.asarray(rng.random(n) < 0.3),
+    }
+    w = jnp.ones((n,), jnp.float32)
+
+    # --- autodiff + optax reference ---------------------------------------
+    opt = optax.adam(cfg.lr)
+    opt_state = opt.init(params)
+    (loss_ref, _), grads = jax.value_and_grad(rainbow_loss, has_aux=True)(
+        params, tparams, noise, tnoise, batch_bn, w, cfg)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params_ref = optax.apply_updates(params, updates)
+
+    # --- kernel math --------------------------------------------------------
+    p8 = FR.rainbow_params_to_packed(params)
+    tp8 = FR.rainbow_params_to_packed(tparams)
+    z8 = tuple(jnp.zeros_like(a) for a in p8)
+    batch_rows = {
+        "obs": batch_bn["obs"].T, "next_obs": batch_bn["next_obs"].T,
+        "action": batch_bn["action"], "reward": batch_bn["reward"],
+        "done": batch_bn["done"],
+    }
+    new_p, new_m, new_v, loss = FR.rainbow_learn_math(
+        p8, tp8, z8, z8, FR.rainbow_noise_to_packed(noise),
+        FR.rainbow_noise_to_packed(tnoise), batch_rows, jnp.int32(1),
+        gamma=cfg.gamma, lr=cfg.lr, obs_scale=obs_scale, faithful=faithful)
+
+    np.testing.assert_allclose(float(loss), float(loss_ref),
+                               rtol=1e-5, atol=1e-7)
+    want = FR.rainbow_params_to_packed(params_ref)
+    for k, (g, r) in enumerate(zip(new_p, want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-3, atol=2e-5, err_msg=f"p[{k}]")
+    # Second step continues to agree (Adam moment state).
+    (_, _), grads = jax.value_and_grad(rainbow_loss, has_aux=True)(
+        params_ref, tparams, noise, tnoise, batch_bn, w, cfg)
+    updates, opt_state = opt.update(grads, opt_state, params_ref)
+    params_ref2 = optax.apply_updates(params_ref, updates)
+    new_p2, _, _, _ = FR.rainbow_learn_math(
+        new_p, tp8, new_m, new_v, FR.rainbow_noise_to_packed(noise),
+        FR.rainbow_noise_to_packed(tnoise), batch_rows, jnp.int32(2),
+        gamma=cfg.gamma, lr=cfg.lr, obs_scale=obs_scale, faithful=faithful)
+    want2 = FR.rainbow_params_to_packed(params_ref2)
+    for k, (g, r) in enumerate(zip(new_p2, want2)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-3, atol=3e-5, err_msg=f"p2[{k}]")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end interpret lock
+# ---------------------------------------------------------------------------
+
+def _race_start(n, seed):
+    rng = np.random.default_rng(seed)
+    pos = np.stack([rng.uniform(870.0, 948.0, n),
+                    rng.uniform(870.0, 948.0, n)]).astype(np.float32)
+    vel = np.stack([rng.uniform(5.0, 40.0, n),
+                    rng.uniform(5.0, 40.0, n)]).astype(np.float32)
+    return pos, vel
+
+
+def _mk(cfg, ep, n, seed, race=None):
+    from merging_gym_tpu.core.geometry import lon2coord
+
+    carry = FR.fused_rainbow_init(jax.random.key(seed), cfg, ep, n)
+    if race is not None:
+        pos, vel = race
+        env = np.asarray(carry["env"]).copy()
+        env[0:2], env[2:4] = pos, vel
+        x1, y1 = lon2coord(jnp.asarray(pos[0]), +1.0)
+        x2, y2 = lon2coord(jnp.asarray(pos[1]), -1.0)
+        env[4:8] = np.stack([np.asarray(x1), np.asarray(y1),
+                             np.asarray(x2), np.asarray(y2)])
+        carry["env"] = jnp.asarray(env)
+    return carry
+
+
+def _xla_reference(cfg, ep, carry0, rounds, noise, tnoise, race=None):
+    """The kernel's exact semantics from independent components: actor
+    via rainbow_apply (different layout), learner via rainbow_learn_math
+    (autodiff-locked above), numpy ring, episodic sync."""
+    n, R = carry0["n"], carry0["R"]
+    p, tp = carry0["p"], carry0["tp"]
+    m, v = carry0["m"], carry0["v"]
+    eps2 = tuple(carry0["eps"])
+    teps2 = tuple(carry0["teps"])
+    scale = 1.0 if cfg.obs_scale is None else float(cfg.obs_scale)
+    ring = np.zeros((R * FT.NUM_F, n), np.float32)
+    env_state = reset_batch(ep, jax.random.key(0), n, jnp.float32)
+    if race is not None:
+        pos, vel = race
+        env_state = env_state.replace(pos=jnp.asarray(pos.T),
+                                      vel=jnp.asarray(vel.T))
+    obs = jax.vmap(core_env.observe)(env_state)
+    ep_rew = np.zeros(n, np.float32)
+    met = np.zeros(4, np.float64)
+    learns, synced, last_loss = 0, 0.0, 0.0
+
+    def act_fn(params_d, o):
+        dist = rainbow_apply(params_d, o * scale, noise)
+        return jnp.argmax(rainbow_q_values(dist), axis=-1).astype(jnp.int32)
+
+    act = jax.jit(act_fn)
+    stepper = jax.jit(lambda s, a: autoreset_step(ep, s, a, jax.random.key(1)))
+    learner = jax.jit(lambda p, tp, m, v, b, t: FR.rainbow_learn_math(
+        p, tp, m, v, eps2, teps2, b, t, gamma=cfg.gamma, lr=cfg.lr,
+        obs_scale=cfg.obs_scale, faithful=cfg.faithful_c51))
+
+    T = len(rounds)
+    for i in range(T):
+        pd = FR.rainbow_packed_to_params(p)
+        a1 = act(pd, obs)
+        if cfg.opponent == FT.OPP_L0:
+            a2 = jnp.full((n,), C.ACTION_NONE, jnp.int32)
+        else:
+            roll = cfg.opponent_roll
+            a2 = act(pd, jnp.concatenate([obs[:, roll:], obs[:, :roll]],
+                                         axis=1))
+        env_state, ts = stepper(env_state, jnp.stack([a1, a2], axis=-1))
+
+        # Unconditional ring write (ranbowdqn.py:673).
+        slab = np.concatenate([
+            np.asarray(obs).T.astype(np.float32),
+            np.asarray(ts.obs).T.astype(np.float32),
+            np.asarray(a1, np.float32)[None],
+            np.asarray(ts.rewards[:, 0], np.float32)[None],
+            np.asarray(ts.done, np.float32)[None],
+            np.zeros((1, n), np.float32),
+        ])
+        ring[(i % R) * FT.NUM_F:(i % R + 1) * FT.NUM_F] = slab
+
+        # Learner: gate = one prior round stored.
+        if i >= 1:
+            s = ring[rounds[i] * FT.NUM_F:(rounds[i] + 1) * FT.NUM_F]
+            batch = {
+                "obs": jnp.asarray(s[0:10]),
+                "next_obs": jnp.asarray(s[10:20]),
+                "action": jnp.asarray(s[20], jnp.int32),
+                "reward": jnp.asarray(s[21]),
+                "done": jnp.asarray(s[22] > 0.5),
+            }
+            p, m, v, loss = learner(p, tp, m, v, batch, jnp.int32(learns + 1))
+            learns += 1
+            last_loss = float(loss)
+
+        done = np.asarray(ts.done)
+        ep_rew = ep_rew + np.asarray(ts.rewards[:, 0])
+        won = done & (np.asarray(obs)[:, 8] > np.asarray(obs)[:, 3])
+        met += [done.sum(), np.asarray(ts.collision).sum(), won.sum(),
+                ep_rew[done].sum()]
+        ep_rew = np.where(done, 0.0, ep_rew).astype(np.float32)
+
+        # Episodic hard target sync (ranbowdqn.py:690-691), post-learn.
+        chunks = np.floor(met[0] / cfg.target_sync_episodes)
+        if chunks > synced:
+            tp, synced = p, chunks
+
+        obs = observe_after_reset(ep, env_state, ts)
+
+    return {"p": p, "tp": tp, "m": m, "v": v, "ring": ring,
+            "env_state": env_state, "ep_rew": ep_rew, "met": met,
+            "learns": learns, "last_loss": last_loss}
+
+
+def _check(carry, want):
+    got_env = np.asarray(carry["env"])
+    st = want["env_state"]
+    np.testing.assert_allclose(got_env[0:2], np.asarray(st.pos).T,
+                               rtol=0, atol=1e-4, err_msg="pos")
+    np.testing.assert_allclose(got_env[2:4], np.asarray(st.vel).T,
+                               rtol=0, atol=1e-4, err_msg="vel")
+    np.testing.assert_array_equal(got_env[8].astype(np.int32),
+                                  np.asarray(st.winner), err_msg="winner")
+    np.testing.assert_allclose(got_env[10], want["ep_rew"],
+                               rtol=0, atol=1e-4, err_msg="ep_reward")
+    np.testing.assert_allclose(np.asarray(carry["ring"]), want["ring"],
+                               rtol=1e-4, atol=1e-4, err_msg="ring")
+    for name in ("p", "tp", "m", "v"):
+        for k, (g, w) in enumerate(zip(carry[name], want[name])):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-4,
+                err_msg=f"{name}[{k}]")
+    assert carry["learns"] == want["learns"]
+    assert carry["episodes"] == want["met"][0]
+    assert carry["collisions"] == want["met"][1]
+    assert carry["wins"] == want["met"][2]
+    np.testing.assert_allclose(carry["sum_ep_reward"], want["met"][3],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(carry["last_loss"], want["last_loss"],
+                               rtol=1e-3, atol=1e-6)
+
+
+def _run_chunks(cfg, ep, carry, rounds, splits):
+    lo = 0
+    for hi in splits + [len(rounds)]:
+        carry = FR.fused_rainbow_chunk(cfg, ep, carry, hi - lo, seed=0,
+                                       greedy=True, rounds=rounds[lo:hi])
+        lo = hi
+    return carry
+
+
+def test_e2e_selfplay_faithful():
+    """Self-play (correct roll 5), faithful C51 + obs_scale, episodic
+    target sync crossing, 2 chunks (cold + warm/noise continuation)."""
+    n, T = 128, 30
+    cfg = RainbowConfig(lr=1e-3, gamma=0.9, target_sync_episodes=3,
+                        memory_capacity=3 * n, obs_scale=0.01,
+                        opponent=FT.OPP_SELFPLAY)
+    ep = EnvParams(max_steps=20)
+    rng = np.random.default_rng(4)
+    rounds = np.minimum(rng.integers(0, 3, T),
+                        np.arange(T)).astype(np.int32)
+
+    race = _race_start(n, seed=500)
+    carry = _mk(cfg, ep, n, seed=0, race=race)
+    want = _xla_reference(cfg, ep, carry, rounds,
+                          *_noise_trees(carry), race=race)
+    got = _run_chunks(cfg, ep, carry, rounds, splits=[3])
+    assert want["met"][0] > 0, "episodes must end"
+    assert want["met"][0] >= 2 * cfg.target_sync_episodes, \
+        "the episodic sync must fire (at least twice)"
+    _check(got, want)
+
+
+def test_e2e_l0_textbook_reference_roll():
+    """L0 opponent, textbook projection, no obs scaling; single launch."""
+    n, T = 128, 24
+    cfg = RainbowConfig(lr=5e-4, gamma=0.99, target_sync_episodes=4,
+                        memory_capacity=2 * n, obs_scale=None,
+                        faithful_c51=False, opponent=FT.OPP_L0)
+    ep = EnvParams(max_steps=18)
+    rng = np.random.default_rng(8)
+    rounds = np.minimum(rng.integers(0, 2, T),
+                        np.arange(T)).astype(np.int32)
+
+    race = _race_start(n, seed=600)
+    carry = _mk(cfg, ep, n, seed=7, race=race)
+    want = _xla_reference(cfg, ep, carry, rounds,
+                          *_noise_trees(carry), race=race)
+    got = _run_chunks(cfg, ep, carry, rounds, splits=[])
+    assert want["met"][1] > 0, "collisions must occur"
+    _check(got, want)
+
+
+def _noise_trees(carry):
+    """Recover noise PyTrees matching the carry's packed noise (the init
+    sampled them from fold_in(key, 2) splits -- rebuild identically)."""
+    # The reference loop only needs the ONLINE noise tree for the actor;
+    # the learner consumes the packed arrays from the carry directly.
+    # Rebuild a tree from the packed arrays via the params unpacker shape
+    # conventions.
+    epsT, epsb = carry["eps"]
+    tree = {}
+    for name, off, rows in FR._SEGS:
+        tree[name] = {"w_eps": epsT[off:off + rows].T,
+                      "b_eps": epsb[off:off + rows, 0]}
+    weT = jnp.concatenate([epsT[FR._a2_rows(a):FR._a2_rows(a) + FR.ATOMS]
+                           for a in range(FR.A)])
+    tree["noisy_advantage2"] = {
+        "w_eps": weT.T,
+        "b_eps": jnp.concatenate(
+            [epsb[FR._a2_rows(a):FR._a2_rows(a) + FR.ATOMS, 0]
+             for a in range(FR.A)]),
+    }
+    return tree, None
+
+
+def test_orbax_roundtrip_resume_equals_continue(tmp_path):
+    """Checkpoint/resume for the fused Rainbow trainer: an orbax
+    save/restore roundtrip mid-run continues bit-for-bit (greedy
+    interpret mode, global-step-derived chunk seeds -- cf.
+    tests/test_fused_trainer_recovery.py)."""
+    from merging_gym_tpu.io.checkpoint import CheckpointManager
+
+    n, steps = 128, 6
+    cfg = RainbowConfig(lr=1e-3, target_sync_episodes=3,
+                        memory_capacity=2 * n, obs_scale=0.01,
+                        opponent=FT.OPP_SELFPLAY)
+    ep = EnvParams(max_steps=15)
+
+    def chunks(carry, count):
+        for _ in range(count):
+            carry = FR.fused_rainbow_chunk(cfg, ep, carry, steps,
+                                           seed=31 + carry["steps"],
+                                           greedy=True)
+        return carry
+
+    race = _race_start(n, seed=700)
+    carry0 = _mk(cfg, ep, n, seed=4, race=race)
+
+    cont = chunks(dict(carry0), 3)
+
+    mid = chunks(dict(carry0), 1)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, mid, wait=True)
+    fresh = FR.fused_rainbow_init(jax.random.key(4), cfg, ep, n)
+    restored = FR.coerce_rainbow_carry(mgr.restore(fresh))
+    mgr.close()
+    assert restored["steps"] == steps and restored["warm"] == 1
+    resumed = chunks(restored, 2)
+
+    for k in ("p", "tp", "m", "v", "eps", "teps"):
+        for a, b in zip(cont[k], resumed[k]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=k)
+    np.testing.assert_array_equal(np.asarray(cont["ring"]),
+                                  np.asarray(resumed["ring"]))
+    np.testing.assert_array_equal(np.asarray(cont["env"]),
+                                  np.asarray(resumed["env"]))
+    for k in ("learns", "steps", "env_steps", "episodes", "collisions",
+              "wins", "sum_ep_reward", "last_loss"):
+        assert cont[k] == resumed[k], k
