@@ -157,6 +157,54 @@ def bench_dqn_fused(num_envs, steps, chunks, learn_batch=None):
             "env-steps/s", learns_per_sec=round(steps * chunks / dt, 1))
 
 
+def bench_hdqn_fused(num_envs, steps, chunks):
+    """Single-kernel hierarchical trainer (ops.fused_hdqn)."""
+    from merging_gym_tpu.agents import dqn as D
+    from merging_gym_tpu.agents.hdqn import HDQNConfig
+    from merging_gym_tpu.core.env import EnvParams
+    from merging_gym_tpu.ops import fused_hdqn as FH
+
+    cfg = HDQNConfig(memory_capacity=4 * num_envs,
+                     goal_memory_capacity=2 * num_envs,
+                     opponent=D.OPP_SELFPLAY)
+    env_params = EnvParams()
+    carry = FH.fused_hdqn_init(jax.random.key(0), cfg, env_params, num_envs)
+    carry = FH.fused_hdqn_chunk(cfg, env_params, carry, steps, seed=0)
+    float(jnp.sum(carry["l_p"][0]))
+    t0 = time.perf_counter()
+    for k in range(chunks):
+        carry = FH.fused_hdqn_chunk(cfg, env_params, carry, steps,
+                                    seed=(1 + k) * steps)
+        float(jnp.sum(carry["l_p"][0])); float(jnp.sum(carry["state"]))
+    dt = time.perf_counter() - t0
+    _report(f"hdqn-train-fused-{num_envs}", num_envs * steps * chunks / dt,
+            "env-steps/s")
+
+
+def bench_rainbow_fused(num_envs, steps, chunks):
+    """Single-kernel Rainbow trainer (ops.fused_rainbow)."""
+    from merging_gym_tpu.agents import dqn as D
+    from merging_gym_tpu.agents.rainbow import RainbowConfig
+    from merging_gym_tpu.core.env import EnvParams
+    from merging_gym_tpu.ops import fused_rainbow as FRB
+
+    cfg = RainbowConfig(memory_capacity=8 * num_envs, obs_scale=0.01,
+                        opponent=D.OPP_SELFPLAY)
+    env_params = EnvParams()
+    carry = FRB.fused_rainbow_init(jax.random.key(0), cfg, env_params,
+                                   num_envs)
+    carry = FRB.fused_rainbow_chunk(cfg, env_params, carry, steps, seed=0)
+    float(jnp.sum(carry["p"][0]))
+    t0 = time.perf_counter()
+    for k in range(chunks):
+        carry = FRB.fused_rainbow_chunk(cfg, env_params, carry, steps,
+                                        seed=(1 + k) * steps)
+        float(jnp.sum(carry["p"][0])); float(jnp.sum(carry["env"]))
+    dt = time.perf_counter() - t0
+    _report(f"rainbow-train-fused-{num_envs}", num_envs * steps * chunks / dt,
+            "env-steps/s")
+
+
 def bench_hdqn(num_envs, steps, chunks):
     from merging_gym_tpu.agents import dqn as D
     from merging_gym_tpu.agents import hdqn as H
@@ -266,6 +314,9 @@ def main():
             bench_dqn_fused(16384, 4096, 5, learn_batch=128)
     bench_hdqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     bench_rainbow(256 if q else 1024, 100 if q else 200, 2 if q else 5)
+    if jax.default_backend() == "tpu":  # in-kernel PRNG needs real hardware
+        bench_hdqn_fused(1024, 512 if q else 2000, 2 if q else 5)
+        bench_rainbow_fused(1024, 512 if q else 2000, 2 if q else 5)
     bench_native_serial(20000 if q else 200000)
     bench_oracle_serial(5000 if q else 20000)
 

@@ -743,3 +743,154 @@ def spmd_fused_hdqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
         "sum_ep_reward": carry["sum_ep_reward"] + float(met[3]),
         "last_loss": float(np.asarray(loss)),
     }
+
+
+def spmd_fused_rainbow_init(key, cfg, env_params: EnvParams, num_envs: int,
+                            mesh: Mesh, opp_params=None):
+    """Sharded fused-Rainbow carry (cf. spmd_fused_dqn_init): env rows +
+    ring lane-sharded over ``data``, learner tensors replicated, and the
+    two nets' NOISE lane-sharded as [464, 64*ndev] -- every device keeps
+    its own independently sampled noise stream (averaging factorized
+    noise at chunk boundaries would shrink it toward zero, unlike
+    params/moments where the pmean IS the local-SGD combine).
+    ``memory_capacity`` is a GLOBAL transition count."""
+    from jax.sharding import NamedSharding
+
+    from merging_gym_tpu.nn.rainbow_net import rainbow_sample_noise
+    from merging_gym_tpu.ops import fused_rainbow as FRB
+
+    ndev = mesh.shape["data"]
+    if num_envs % ndev != 0:
+        raise ValueError(f"num_envs {num_envs} must divide over {ndev} devices")
+    if cfg.memory_capacity % ndev != 0:
+        raise ValueError(f"memory_capacity {cfg.memory_capacity} must divide "
+                         f"over {ndev} devices")
+    n_local = num_envs // ndev
+    carry = FRB.fused_rainbow_init(
+        key, cfg.replace(memory_capacity=cfg.memory_capacity // ndev),
+        env_params, n_local, opp_params)
+    lanes = NamedSharding(mesh, P(None, "data"))
+    rep = NamedSharding(mesh, P())
+    carry["env"] = jax.device_put(jnp.tile(carry["env"], (1, ndev)), lanes)
+    carry["ring"] = jax.device_put(
+        jnp.zeros((carry["ring"].shape[0], num_envs), jnp.float32), lanes)
+    # Per-device noise: ndev independent samples, concatenated lane-wise.
+    kn = jax.random.fold_in(key, 3)
+    for name, salt in (("eps", 0), ("teps", 1)):
+        packed = [FRB.rainbow_noise_to_packed(rainbow_sample_noise(
+            jax.random.fold_in(jax.random.fold_in(kn, salt), d),
+            cfg.num_actions, cfg.num_atoms)) for d in range(ndev)]
+        carry[name] = tuple(
+            jax.device_put(jnp.concatenate([pk[j] for pk in packed], axis=1),
+                           lanes) for j in range(2))
+    for k in ("p", "tp", "m", "v", "opp"):
+        carry[k] = tuple(jax.device_put(a, rep) for a in carry[k])
+    carry["n"] = num_envs
+    carry["n_local"] = n_local
+    return carry
+
+
+@lru_cache(maxsize=None)
+def _fused_rainbow_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
+                           opp: int, roll: int, p_greedy: float,
+                           has_eps: bool, gamma: float, lr: float,
+                           sync_eps: float, obs_scale, faithful: bool,
+                           greedy: bool, interpret: bool):
+    """Jitted shard_map for one fused-Rainbow config (cf.
+    _fused_dqn_sharded): per-chunk seed and counters are traced so chunk
+    launches reuse one Mosaic compilation.  The episodic target sync
+    inside a chunk is a PER-DEVICE decision (global prior count + local
+    in-chunk episode increments) -- consistent with the local-SGD design
+    where learner state may diverge between chunk-boundary pmeans."""
+    from merging_gym_tpu.ops import fused_rainbow as FRB
+
+    ndev = mesh.shape["data"]
+
+    def per_device(scal, rewards, rounds_all, p, tp, m, v, eps, teps, opp_p,
+                   env, ring):
+        idx = jax.lax.axis_index("data")
+        seed = scal[0]
+        dev_seed = (seed * jnp.int32(ndev) + idx) * jnp.int32(num_steps)
+        rounds = jax.lax.dynamic_slice_in_dim(
+            rounds_all, idx * num_steps, num_steps)
+        cfgv = jnp.stack([dev_seed, scal[1], scal[2], scal[3], scal[4],
+                          scal[5]])
+        arrays = tuple(list(p) + list(tp) + list(m) + list(v) + list(eps)
+                       + list(teps) + list(opp_p) + [env, ring])
+        out = FRB._call(cfgv, rewards, rounds, arrays, num_steps, n_local,
+                        R, opp, roll, p_greedy, has_eps, gamma, lr,
+                        sync_eps, obs_scale, faithful, greedy,
+                        interpret=interpret)
+        po, tpo, mo, vo = out[0:8], out[8:16], out[16:24], out[24:32]
+        eps_o, teps_o = out[32:34], out[34:36]
+        env_o, ring_o, met_o, loss_o = out[36], out[37], out[38], out[39]
+        avg = lambda t: tuple(jax.lax.pmean(a, "data") for a in t)
+        return (avg(po), avg(tpo), avg(mo), avg(vo), eps_o, teps_o,
+                env_o, ring_o, met_o, jax.lax.pmean(loss_o[0, 0], "data"))
+
+    rep8 = tuple(P() for _ in range(8))
+    rep2 = (P(), P())
+    lanes = P(None, "data")
+    lanes2 = (lanes, lanes)
+    return jax.jit(jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P("data"), rep8, rep8, rep8, rep8, lanes2,
+                  lanes2, tuple(P() for _ in range(6)), lanes, lanes),
+        out_specs=(rep8, rep8, rep8, rep8, lanes2, lanes2, lanes, lanes,
+                   lanes, P()),
+        check_vma=False,
+    ))
+
+
+def spmd_fused_rainbow_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
+                             num_steps: int, seed: int, *, greedy=False):
+    """One fused-Rainbow launch per device + chunk-boundary local-SGD
+    pmean of params/target/moments over ICI (noise stays per-device)."""
+    from merging_gym_tpu.ops import fused_rainbow as FRB
+    from merging_gym_tpu.ops import fused_trainer as FT
+
+    ndev = mesh.shape["data"]
+    R = carry["R"]
+    has_eps = cfg.epsilon is not None
+    fn = _fused_rainbow_sharded(
+        mesh, num_steps, carry["n_local"], R, cfg.opponent,
+        int(cfg.opponent_roll), FT._phi(cfg.epsilon) if has_eps else 1.0,
+        has_eps, float(cfg.gamma), float(cfg.lr),
+        float(cfg.target_sync_episodes),
+        None if cfg.obs_scale is None else float(cfg.obs_scale),
+        bool(cfg.faithful_c51), bool(greedy), FT._interpret_flag())
+    # Per-device round draws within the (shared) filled prefix; devices
+    # write their rings in lockstep so the fill schedule is global.
+    fill = jnp.minimum(jnp.asarray(carry["steps"], jnp.int32)
+                       + jnp.arange(num_steps, dtype=jnp.int32) + 1, R)
+    ks = jax.random.split(jax.random.key(seed ^ 0x51C), ndev)
+    u = jnp.stack([jax.random.uniform(k, (num_steps,)) for k in ks])
+    rounds_all = jnp.minimum(
+        jnp.floor(u * fill[None, :].astype(jnp.float32)).astype(jnp.int32),
+        fill[None, :] - 1).reshape(-1)
+    scal = jnp.asarray([seed, env_params.max_steps, carry["warm"],
+                        carry["learns"], carry["steps"] % R,
+                        int(carry["episodes"])], jnp.int32)
+    out = fn(scal, FT.rewards_cfg(env_params), rounds_all, carry["p"],
+             carry["tp"], carry["m"], carry["v"], tuple(carry["eps"]),
+             tuple(carry["teps"]), carry["opp"], carry["env"],
+             carry["ring"])
+    p, tp, m, v, eps, teps, env, ring, met, loss = out
+    import numpy as np
+    met = np.asarray(met).sum(axis=1)
+    steps = carry["steps"] + num_steps
+    warmup_left = 0 if carry["warm"] else max(1 - carry["steps"], 0)
+    return {
+        **carry,
+        "p": p, "tp": tp, "m": m, "v": v, "eps": eps, "teps": teps,
+        "env": env, "ring": ring,
+        "warm": 1 if steps >= 1 else 0,
+        "steps": steps,
+        "learns": carry["learns"] + max(num_steps - warmup_left, 0),
+        "env_steps": carry["env_steps"] + num_steps * carry["n"],
+        "episodes": carry["episodes"] + float(met[0]),
+        "collisions": carry["collisions"] + float(met[1]),
+        "wins": carry["wins"] + float(met[2]),
+        "sum_ep_reward": carry["sum_ep_reward"] + float(met[3]),
+        "last_loss": float(np.asarray(loss)),
+    }

@@ -161,3 +161,68 @@ def test_hdqn_eight_device_local_sgd(devices8):
     assert carry["env_steps"] == 2 * T * n
     assert np.isfinite(carry["last_loss"])
     assert any(bool(jnp.any(a != b)) for a, b in zip(p0, carry["l_p"]))
+
+
+def test_rainbow_one_device_mesh_equals_single_chip():
+    from merging_gym_tpu.agents.rainbow import RainbowConfig
+    from merging_gym_tpu.ops import fused_rainbow as FRB
+    from merging_gym_tpu.parallel.spmd import (spmd_fused_rainbow_chunk,
+                                               spmd_fused_rainbow_init)
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    n, T, seed = 128, 8, 13
+    cfg = RainbowConfig(lr=1e-3, target_sync_episodes=3,
+                        memory_capacity=2 * n, obs_scale=0.01,
+                        opponent=FT.OPP_SELFPLAY)
+    ep = EnvParams(max_steps=15)
+
+    dist = spmd_fused_rainbow_init(jax.random.key(0), cfg, ep, n, mesh)
+    solo = FRB.fused_rainbow_init(jax.random.key(0), cfg, ep, n)
+    # Same noise streams (the spmd init draws per-device noise).
+    solo["eps"], solo["teps"] = tuple(dist["eps"]), tuple(dist["teps"])
+
+    dist = spmd_fused_rainbow_chunk(mesh, cfg, ep, dist, T, seed,
+                                    greedy=True)
+    # Reproduce the spmd wrapper's device-0 round stream.
+    fill = np.minimum(np.arange(T) + 1, 2).astype(np.float32)
+    k0 = jax.random.split(jax.random.key(seed ^ 0x51C), 1)[0]
+    u = np.asarray(jax.random.uniform(k0, (T,)))
+    rounds = np.minimum(np.floor(u * fill), fill - 1).astype(np.int32)
+    solo = FRB.fused_rainbow_chunk(cfg, ep, solo, T, seed=seed * T,
+                                   greedy=True, rounds=rounds)
+
+    for k in ("p", "tp", "m", "v", "eps", "teps"):
+        for a, b in zip(dist[k], solo[k]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), k)
+    np.testing.assert_array_equal(np.asarray(dist["env"]),
+                                  np.asarray(solo["env"]))
+    np.testing.assert_array_equal(np.asarray(dist["ring"]),
+                                  np.asarray(solo["ring"]))
+    for k in ("learns", "steps", "env_steps", "episodes", "last_loss"):
+        assert dist[k] == solo[k], k
+
+
+def test_rainbow_eight_device_local_sgd(devices8):
+    from merging_gym_tpu.agents.rainbow import RainbowConfig
+    from merging_gym_tpu.parallel.spmd import (spmd_fused_rainbow_chunk,
+                                               spmd_fused_rainbow_init)
+
+    mesh = Mesh(np.asarray(devices8), ("data",))
+    n, T = 8 * 128, 5
+    cfg = RainbowConfig(lr=1e-3, target_sync_episodes=5,
+                        memory_capacity=2 * n, obs_scale=0.01,
+                        opponent=FT.OPP_L0)
+    ep = EnvParams(max_steps=15)
+    carry = spmd_fused_rainbow_init(jax.random.key(1), cfg, ep, n, mesh)
+    # Per-device noise shards must be distinct draws.
+    e = np.asarray(carry["eps"][0])
+    assert not np.array_equal(e[:, :64], e[:, 64:128])
+    p0 = carry["p"]
+    carry = spmd_fused_rainbow_chunk(mesh, cfg, ep, carry, T, seed=2,
+                                     greedy=True)
+    carry = spmd_fused_rainbow_chunk(mesh, cfg, ep, carry, T, seed=3,
+                                     greedy=True)
+    assert carry["env_steps"] == 2 * T * n
+    assert np.isfinite(carry["last_loss"])
+    assert any(bool(jnp.any(a != b)) for a, b in zip(p0, carry["p"]))
+    assert carry["ring"].shape == (2 * FT.NUM_F, n)
