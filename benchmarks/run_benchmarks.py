@@ -13,7 +13,10 @@ Covers the BASELINE.json configs that fit on one chip:
   dqn-train-fused-<n>      the same trainer as ONE Pallas kernel
                            (ops.fused_trainer; learner batch = n)
   hdqn-train       hierarchical two-net trainer (config 4, 1-chip slice)
+  hdqn-train-fused-<n>     the same as ONE Pallas kernel (ops.fused_hdqn)
   rainbow-train    Rainbow with PER + 3-step (config 5, 1-chip slice)
+  rainbow-train-fused-<n>  reference-config Rainbow as ONE Pallas kernel
+                           (ops.fused_rainbow; uniform ring, 1-step)
   native-serial    C++ host core serial env-steps/s (reference-analogous path)
   oracle-serial    pure-Python float64 oracle (what the reference's stack costs
                    with the QP/GEOS replaced by closed forms)
