@@ -806,13 +806,13 @@ def _fused_rainbow_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
 
     ndev = mesh.shape["data"]
 
-    def per_device(scal, rewards, rounds_all, p, tp, m, v, eps, teps, opp_p,
+    def per_device(scal, rewards, rounds, p, tp, m, v, eps, teps, opp_p,
                    env, ring):
+        # ``rounds`` is this device's shard of the host-drawn stream (the
+        # in_spec P("data") splits the [ndev*num_steps] vector).
         idx = jax.lax.axis_index("data")
         seed = scal[0]
         dev_seed = (seed * jnp.int32(ndev) + idx) * jnp.int32(num_steps)
-        rounds = jax.lax.dynamic_slice_in_dim(
-            rounds_all, idx * num_steps, num_steps)
         cfgv = jnp.stack([dev_seed, scal[1], scal[2], scal[3], scal[4],
                           scal[5]])
         arrays = tuple(list(p) + list(tp) + list(m) + list(v) + list(eps)
