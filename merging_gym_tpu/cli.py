@@ -476,7 +476,11 @@ def cmd_levelk(args):
     if args.algo not in ("dqn", "hdqn"):
         raise SystemExit(
             f"levelk supports --algo dqn or hdqn (got {args.algo!r}): "
-            "rainbow/drqn have no frozen-opponent mode")
+            "the curriculum freezes each rung as the next opponent, and "
+            "only MLP Q-nets can be frozen opponents (rainbow can train "
+            "VS a frozen rung via train --opponent <npz>, but a frozen "
+            "rainbow policy is not a supported opponent; drqn has "
+            "neither mode)")
     prev = "L0"
     for level in range(1, args.levels + 1):
         sub = argparse.Namespace(**vars(args))
