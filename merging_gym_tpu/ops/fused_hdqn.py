@@ -387,6 +387,10 @@ def fused_hdqn_chunk(cfg, env_params, carry, num_steps, seed, *,
                      greedy=False, lo_rounds=None, up_rounds=None):
     """Run ``num_steps`` hierarchical training steps in ONE kernel launch."""
     R_lo, R_up, n = carry["R_lo"], carry["R_up"], carry["n"]
+    if num_steps < 1:
+        raise ValueError(f"num_steps must be >= 1, got {num_steps} (a "
+                         "zero-iteration grid would skip the state copy "
+                         "and return uninitialized outputs)")
     k1, k2 = jax.random.split(jax.random.key(seed ^ 0x4D0))
     if lo_rounds is None:
         lo_rounds = jax.random.randint(k1, (num_steps,), 0, R_lo, jnp.int32)
@@ -396,7 +400,15 @@ def fused_hdqn_chunk(cfg, env_params, carry, num_steps, seed, *,
     up_rounds = jnp.asarray(up_rounds, jnp.int32)
     if lo_rounds.shape != (num_steps,) or up_rounds.shape != (num_steps,):
         raise ValueError("lo_rounds/up_rounds must be i32 [num_steps]")
-    assert not env_params.random_start, "fused hdqn: deterministic starts"
+    lnp, unp = np.asarray(lo_rounds), np.asarray(up_rounds)
+    if (lnp.min() < 0 or lnp.max() >= R_lo
+            or unp.min() < 0 or unp.max() >= R_up):
+        raise ValueError(f"lo_rounds must lie in [0, {R_lo}) and up_rounds "
+                         f"in [0, {R_up}) (out-of-range values clamp to "
+                         "the ring edge and silently train on the wrong "
+                         "slab)")
+    if env_params.random_start:
+        raise ValueError("fused hdqn: deterministic starts only")
     # base ≡ steps mod R_lo AND mod R_up (product is a common multiple),
     # and equals the true prior step count while either warm flag is 0
     # (steps < R-1 < R_lo*R_up), so the in-kernel warm gates stay exact.

@@ -660,6 +660,10 @@ def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
     (module docstring) -- the e2e determinism mode.
     """
     R, n = carry["R"], carry["n"]
+    if num_steps < 1:
+        raise ValueError(f"num_steps must be >= 1, got {num_steps} (a "
+                         "zero-iteration grid would skip the state copy "
+                         "and return uninitialized outputs)")
     if rounds is None:
         u = jax.random.uniform(jax.random.key(seed ^ 0x51C),
                                (num_steps,), jnp.float32)
@@ -671,7 +675,14 @@ def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
     rounds = jnp.asarray(rounds, jnp.int32)
     if rounds.shape != (num_steps,):
         raise ValueError("rounds must be i32 [num_steps]")
-    assert not env_params.random_start, "fused rainbow: deterministic starts"
+    rnp = np.asarray(rounds)
+    if rnp.min() < 0 or rnp.max() >= R:
+        raise ValueError(f"rounds must lie in [0, {R}), got "
+                         f"[{rnp.min()}, {rnp.max()}] (out-of-range values "
+                         "would clamp to the ring edge and silently train "
+                         "on the wrong slab)")
+    if env_params.random_start:
+        raise ValueError("fused rainbow: deterministic starts only")
     cfgv = jnp.asarray([seed, env_params.max_steps, carry["warm"],
                         carry["learns"], carry["steps"] % R,
                         int(carry["episodes"])], jnp.int32)

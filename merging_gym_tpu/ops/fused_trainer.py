@@ -587,6 +587,10 @@ def fused_dqn_chunk(cfg, env_params, carry, num_steps, seed, *,
     an XLA trainer built from the independently verified components.
     """
     R, n = carry["R"], carry["n"]
+    if num_steps < 1:
+        raise ValueError(f"num_steps must be >= 1, got {num_steps} (a "
+                         "zero-iteration grid would skip the state copy "
+                         "and return uninitialized outputs)")
     B = carry.get("B", n)
     K = carry.get("K", 1)
     W = B // K
@@ -599,10 +603,16 @@ def fused_dqn_chunk(cfg, env_params, carry, num_steps, seed, *,
     cols = jnp.asarray(cols, jnp.int32)
     if rounds.shape != (num_steps * K,) or cols.shape != (num_steps * K,):
         raise ValueError("rounds/cols must be i32 [num_steps * learn_rounds]")
+    rnp, cnp = np.asarray(rounds), np.asarray(cols)
+    if rnp.min() < 0 or rnp.max() >= R or cnp.min() < 0 or cnp.max() >= n // W:
+        raise ValueError(f"rounds must lie in [0, {R}) and cols in "
+                         f"[0, {n // W}) (out-of-range values clamp to the "
+                         "ring edge and silently train on the wrong slab)")
     arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
               + list(carry["v"]) + list(carry["opp"])
               + [carry["env"], carry["ring"]])
-    assert not env_params.random_start, "fused trainer: deterministic starts"
+    if env_params.random_start:
+        raise ValueError("fused trainer: deterministic starts only")
     out = _call(launch_cfg(carry, env_params, seed), rewards_cfg(env_params),
                 rounds, cols, tuple(arrays), num_steps,
                 n, R, B, K, cfg.opponent, _phi(cfg.epsilon), cfg.num_actions,
