@@ -383,6 +383,35 @@ def fused_hdqn_init(key, cfg, env_params, num_envs, opp_upper=None,
     }
 
 
+def apply_hdqn_chunk(carry, groups, state, lo_ring, up_ring, num_steps,
+                     met_sum, loss):
+    """Fold a launch's outputs back into the host-side carry dict (cf.
+    ops.fused_trainer.apply_chunk) -- shared by fused_hdqn_chunk and
+    parallel.spmd.spmd_fused_hdqn_chunk so the warm/learn counter
+    semantics have one definition."""
+    R_lo, R_up = carry["R_lo"], carry["R_up"]
+    steps = carry["steps"] + num_steps
+    warmup_left = 0 if carry["warm_lo"] else max(R_lo - 1 - carry["steps"], 0)
+    return {
+        **carry,
+        "u_p": groups[0], "u_tp": groups[1], "u_m": groups[2],
+        "u_v": groups[3],
+        "l_p": groups[4], "l_tp": groups[5], "l_m": groups[6],
+        "l_v": groups[7],
+        "state": state, "lo_ring": lo_ring, "up_ring": up_ring,
+        "warm_lo": 1 if steps >= R_lo - 1 else 0,
+        "warm_up": 1 if steps >= R_up - 1 else 0,
+        "lo_learns": carry["lo_learns"] + max(num_steps - warmup_left, 0),
+        "steps": steps,
+        "env_steps": carry["env_steps"] + num_steps * carry["n"],
+        "episodes": carry["episodes"] + float(met_sum[0]),
+        "collisions": carry["collisions"] + float(met_sum[1]),
+        "wins": carry["wins"] + float(met_sum[2]),
+        "sum_ep_reward": carry["sum_ep_reward"] + float(met_sum[3]),
+        "last_loss": float(loss),
+    }
+
+
 def fused_hdqn_chunk(cfg, env_params, carry, num_steps, seed, *,
                      greedy=False, lo_rounds=None, up_rounds=None):
     """Run ``num_steps`` hierarchical training steps in ONE kernel launch."""
@@ -431,28 +460,10 @@ def fused_hdqn_chunk(cfg, env_params, carry, num_steps, seed, *,
                 bool(greedy),
                 interpret=os.environ.get("MGT_FUSED_INTERPRET", "") == "1")
     groups = [tuple(out[k * 6:(k + 1) * 6]) for k in range(8)]
-    state, lo_ring, up_ring = out[48], out[49], out[50]
     met = np.asarray(out[51]).sum(axis=1)
-    steps = carry["steps"] + num_steps
-    warmup_left = 0 if carry["warm_lo"] else max(R_lo - 1 - carry["steps"], 0)
-    return {
-        **carry,
-        "u_p": groups[0], "u_tp": groups[1], "u_m": groups[2],
-        "u_v": groups[3],
-        "l_p": groups[4], "l_tp": groups[5], "l_m": groups[6],
-        "l_v": groups[7],
-        "state": state, "lo_ring": lo_ring, "up_ring": up_ring,
-        "warm_lo": 1 if steps >= R_lo - 1 else 0,
-        "warm_up": 1 if steps >= R_up - 1 else 0,
-        "lo_learns": carry["lo_learns"] + max(num_steps - warmup_left, 0),
-        "steps": steps,
-        "env_steps": carry["env_steps"] + num_steps * n,
-        "episodes": carry["episodes"] + float(met[0]),
-        "collisions": carry["collisions"] + float(met[1]),
-        "wins": carry["wins"] + float(met[2]),
-        "sum_ep_reward": carry["sum_ep_reward"] + float(met[3]),
-        "last_loss": float(np.asarray(out[52])[0, 0]),
-    }
+    return apply_hdqn_chunk(carry, groups, out[48], out[49], out[50],
+                            num_steps, met,
+                            float(np.asarray(out[52])[0, 0]))
 
 
 def coerce_hdqn_carry(carry):

@@ -88,7 +88,8 @@ TRUNK0, TRUNK1 = 32, 64   # ranbowdqn.py:508-509
 # Packed noisy-block row offsets: value1, value2, advantage1, advantage2.
 OFF_V1, OFF_V2, OFF_A1, OFF_A2 = 0, 64, 120, 184
 NP = OFF_A2 + A * AP  # 464 packed rows
-ENV_ROWS = 12         # pos 2, vel 2, xy 4, winner, t, ep_reward, sync_chunks
+ENV_ROWS = 13         # pos 2, vel 2, xy 4, winner, t, ep_reward,
+                      # sync_chunks, ep_cum (per-lane episode counts)
 DELTA_Z = (V_MAX - V_MIN) / (ATOMS - 1)
 
 
@@ -393,7 +394,6 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, *refs,
     warm = cfg_ref[2]
     prior_learns = cfg_ref[3]
     base = cfg_ref[4]        # prior steps % R (== prior steps while warm==0)
-    prior_eps = cfg_ref[5]   # completed episodes before this chunk
 
     @pl.when(i == 0)
     def _():
@@ -423,6 +423,12 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, *refs,
     tcnt = env[9].astype(jnp.int32)
     ep_rew = env[10]
     synced = env[11]        # replicated f32 scalar row: target-sync chunks
+    ep_cum = env[12]        # per-lane CUMULATIVE episode counts (never
+                            # reset): their sum is the episode total this
+                            # kernel instance has seen, so the episodic
+                            # sync below needs no host-supplied prior and
+                            # stays internally consistent on any mesh
+                            # (per-device counts under SPMD)
 
     obs = jnp.stack([
         x2 - x1, y2 - y1, vel[1] - vel[0], C.END_POINT - pos[0], vel[0],
@@ -525,8 +531,9 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, *refs,
     ep_rew = jnp.where(done, 0.0, ep_rew)
 
     # --- episodic target sync (ranbowdqn.py:690-691): hard copy when the
-    # global completed-episode count crosses a sync_eps boundary ---------------
-    ep_total = prior_eps.astype(jnp.float32) + jnp.sum(met_now[0])
+    # completed-episode count crosses a sync_eps boundary ----------------------
+    ep_cum = ep_cum + done.astype(jnp.float32)
+    ep_total = jnp.sum(ep_cum)
     chunks = jnp.floor(ep_total * (1.0 / sync_eps))
     do_sync = chunks > synced[0]
 
@@ -549,6 +556,7 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, *refs,
     env_o[9] = jnp.where(done, 0, ntcnt).astype(jnp.float32)
     env_o[10] = ep_rew
     env_o[11] = synced
+    env_o[12] = ep_cum
 
 
 # ---------------------------------------------------------------------------
@@ -650,6 +658,41 @@ def fused_rainbow_init(key, cfg, env_params, num_envs, opp_params=None):
     }
 
 
+def fill_schedule(carry, num_steps):
+    """Rounds stored after step i's ring write: min(prior_steps+i+1, R).
+    Shared by the single-chip and SPMD round-draw paths so the
+    uniform-over-filled-prefix contract has one definition."""
+    R = carry["R"]
+    return jnp.minimum(jnp.asarray(carry["steps"], jnp.int32)
+                       + jnp.arange(num_steps, dtype=jnp.int32) + 1, R)
+
+
+def apply_rainbow_chunk(carry, out36, env, ring, num_steps, met_sum, loss):
+    """Fold a launch's outputs back into the host-side carry dict (cf.
+    ops.fused_trainer.apply_chunk) -- shared by fused_rainbow_chunk and
+    parallel.spmd.spmd_fused_rainbow_chunk so the warm/learn counter
+    semantics have one definition."""
+    p, tp, m, v = out36[0:8], out36[8:16], out36[16:24], out36[24:32]
+    eps, teps = out36[32:34], out36[34:36]
+    steps = carry["steps"] + num_steps
+    warmup_left = 0 if carry["warm"] else max(1 - carry["steps"], 0)
+    return {
+        **carry,
+        "p": tuple(p), "tp": tuple(tp), "m": tuple(m), "v": tuple(v),
+        "eps": tuple(eps), "teps": tuple(teps),
+        "env": env, "ring": ring,
+        "warm": 1 if steps >= 1 else 0,
+        "steps": steps,
+        "learns": carry["learns"] + max(num_steps - warmup_left, 0),
+        "env_steps": carry["env_steps"] + num_steps * carry["n"],
+        "episodes": carry["episodes"] + float(met_sum[0]),
+        "collisions": carry["collisions"] + float(met_sum[1]),
+        "wins": carry["wins"] + float(met_sum[2]),
+        "sum_ep_reward": carry["sum_ep_reward"] + float(met_sum[3]),
+        "last_loss": float(loss),
+    }
+
+
 def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
                         greedy=False, rounds=None):
     """Run ``num_steps`` Rainbow training steps in ONE kernel launch.
@@ -667,9 +710,7 @@ def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
     if rounds is None:
         u = jax.random.uniform(jax.random.key(seed ^ 0x51C),
                                (num_steps,), jnp.float32)
-        # Rounds stored after step i's write = min(prior_steps + i + 1, R).
-        fill = jnp.minimum(jnp.asarray(carry["steps"], jnp.int32)
-                           + jnp.arange(num_steps, dtype=jnp.int32) + 1, R)
+        fill = fill_schedule(carry, num_steps)
         rounds = jnp.floor(u * fill.astype(jnp.float32)).astype(jnp.int32)
         rounds = jnp.minimum(rounds, fill - 1)
     rounds = jnp.asarray(rounds, jnp.int32)
@@ -684,8 +725,7 @@ def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
     if env_params.random_start:
         raise ValueError("fused rainbow: deterministic starts only")
     cfgv = jnp.asarray([seed, env_params.max_steps, carry["warm"],
-                        carry["learns"], carry["steps"] % R,
-                        int(carry["episodes"])], jnp.int32)
+                        carry["learns"], carry["steps"] % R], jnp.int32)
     arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
               + list(carry["v"]) + list(carry["eps"]) + list(carry["teps"])
               + list(carry["opp"]) + [carry["env"], carry["ring"]])
@@ -698,27 +738,10 @@ def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
                 None if cfg.obs_scale is None else float(cfg.obs_scale),
                 bool(cfg.faithful_c51), bool(greedy),
                 interpret=_interpret_flag())
-    p, tp, m, v = out[0:8], out[8:16], out[16:24], out[24:32]
-    eps, teps = out[32:34], out[34:36]
-    env, ring, met_r, loss = out[36], out[37], out[38], out[39]
-    met = np.asarray(met_r).sum(axis=1)
-    steps = carry["steps"] + num_steps
-    warmup_left = 0 if carry["warm"] else max(1 - carry["steps"], 0)
-    return {
-        **carry,
-        "p": tuple(p), "tp": tuple(tp), "m": tuple(m), "v": tuple(v),
-        "eps": tuple(eps), "teps": tuple(teps),
-        "env": env, "ring": ring,
-        "warm": 1 if steps >= 1 else 0,
-        "steps": steps,
-        "learns": carry["learns"] + max(num_steps - warmup_left, 0),
-        "env_steps": carry["env_steps"] + num_steps * n,
-        "episodes": carry["episodes"] + float(met[0]),
-        "collisions": carry["collisions"] + float(met[1]),
-        "wins": carry["wins"] + float(met[2]),
-        "sum_ep_reward": carry["sum_ep_reward"] + float(met[3]),
-        "last_loss": float(np.asarray(loss)[0, 0]),
-    }
+    met = np.asarray(out[38]).sum(axis=1)
+    return apply_rainbow_chunk(carry, out[0:36], out[36], out[37],
+                               num_steps, met,
+                               float(np.asarray(out[39])[0, 0]))
 
 
 def coerce_rainbow_carry(carry):

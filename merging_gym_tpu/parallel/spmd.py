@@ -489,6 +489,28 @@ def spmd_hdqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
 # lanes stay device-local and are summed on the host like the single-chip
 # path.
 
+def _check_fused_launch(num_steps, env_params):
+    """Host-API guards shared by the SPMD fused chunk wrappers (the same
+    contract the single-chip fused_*_chunk functions enforce): a
+    zero-iteration grid would skip the kernels' i==0 state copy and
+    return uninitialized outputs; random starts are unsupported (the
+    kernels hardcode deterministic resets)."""
+    if num_steps < 1:
+        raise ValueError(f"num_steps must be >= 1, got {num_steps}")
+    if env_params.random_start:
+        raise ValueError("fused kernels: deterministic starts only")
+
+
+def _dev_seed_block(seed, idx, ndev, num_steps):
+    """Per-device PRNG seed block base: (seed*ndev + idx) * num_steps in
+    uint32 (wrapping is DEFINED and harmless for PRNG seeding: blocks
+    tile the integers without overlap until 2**32 / (ndev*num_steps)
+    chunk seeds, then reuse long-exhausted blocks)."""
+    u = (seed.astype(jnp.uint32) * jnp.uint32(ndev) + idx.astype(jnp.uint32)
+         ) * jnp.uint32(num_steps)
+    return jax.lax.bitcast_convert_type(u, jnp.int32)
+
+
 def spmd_fused_dqn_init(key, cfg: D.DQNConfig, env_params: EnvParams,
                         num_envs: int, mesh: Mesh, opp_params=None,
                         learn_batch=None, learn_rounds=1):
@@ -556,8 +578,8 @@ def _fused_dqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
         # devices need a stride >= num_steps to keep exploration streams
         # disjoint within a chunk AND across consecutive chunk seeds:
         # blocks [(seed*ndev + idx)*num_steps, ... + num_steps) tile the
-        # integers without overlap for seed = 0, 1, 2, ...
-        dev_seed = (seed * jnp.int32(ndev) + idx) * jnp.int32(num_steps)
+        # integers without overlap (uint32-wrapping, see _dev_seed_block).
+        dev_seed = _dev_seed_block(seed, idx, ndev, num_steps)
         kd = jax.random.fold_in(jax.random.key(seed ^ 0x5EED), idx)
         k_r, k_c = jax.random.split(kd)
         rounds = jax.random.randint(k_r, (num_steps * K,), 0, R, jnp.int32)
@@ -593,6 +615,7 @@ def spmd_fused_dqn_chunk(mesh: Mesh, cfg: D.DQNConfig, env_params: EnvParams,
     """One fused-kernel launch per device + chunk-boundary averaging."""
     from merging_gym_tpu.ops import fused_trainer as FT
 
+    _check_fused_launch(num_steps, env_params)
     R, B, K = carry["R"], carry["B"], carry.get("K", 1)
     fn = _fused_dqn_sharded(mesh, num_steps, carry["n_local"], R, B, K,
                             cfg.opponent, FT._phi(cfg.epsilon),
@@ -667,7 +690,7 @@ def _fused_hdqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R_lo: int,
                    up_ring):
         idx = jax.lax.axis_index("data")
         seed = scal[0]
-        dev_seed = (seed * jnp.int32(ndev) + idx) * jnp.int32(num_steps)
+        dev_seed = _dev_seed_block(seed, idx, ndev, num_steps)
         kd = jax.random.fold_in(jax.random.key(seed ^ 0x4D0), idx)
         k1, k2 = jax.random.split(kd)
         lo_rounds = jax.random.randint(k1, (num_steps,), 0, R_lo, jnp.int32)
@@ -704,6 +727,7 @@ def spmd_fused_hdqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
     of both learners' params/moments over ICI."""
     from merging_gym_tpu.ops import fused_trainer as FT
 
+    _check_fused_launch(num_steps, env_params)
     R_lo, R_up = carry["R_lo"], carry["R_up"]
     fn = _fused_hdqn_sharded(mesh, num_steps, carry["n_local"], R_lo, R_up,
                              cfg.opponent, FT._phi(cfg.epsilon),
@@ -721,28 +745,10 @@ def spmd_fused_hdqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
              carry["up_ring"])
     groups, state, lo_ring, up_ring, met, loss = out
     import numpy as np
+    from merging_gym_tpu.ops.fused_hdqn import apply_hdqn_chunk
     met = np.asarray(met).sum(axis=1)
-    steps = carry["steps"] + num_steps
-    warmup_left = (0 if carry["warm_lo"]
-                   else max(R_lo - 1 - carry["steps"], 0))
-    return {
-        **carry,
-        "u_p": groups[0], "u_tp": groups[1], "u_m": groups[2],
-        "u_v": groups[3],
-        "l_p": groups[4], "l_tp": groups[5], "l_m": groups[6],
-        "l_v": groups[7],
-        "state": state, "lo_ring": lo_ring, "up_ring": up_ring,
-        "warm_lo": 1 if steps >= R_lo - 1 else 0,
-        "warm_up": 1 if steps >= R_up - 1 else 0,
-        "lo_learns": carry["lo_learns"] + max(num_steps - warmup_left, 0),
-        "steps": steps,
-        "env_steps": carry["env_steps"] + num_steps * carry["n"],
-        "episodes": carry["episodes"] + float(met[0]),
-        "collisions": carry["collisions"] + float(met[1]),
-        "wins": carry["wins"] + float(met[2]),
-        "sum_ep_reward": carry["sum_ep_reward"] + float(met[3]),
-        "last_loss": float(np.asarray(loss)),
-    }
+    return apply_hdqn_chunk(carry, groups, state, lo_ring, up_ring,
+                            num_steps, met, float(np.asarray(loss)))
 
 
 def spmd_fused_rainbow_init(key, cfg, env_params: EnvParams, num_envs: int,
@@ -798,10 +804,11 @@ def _fused_rainbow_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
                            greedy: bool, interpret: bool):
     """Jitted shard_map for one fused-Rainbow config (cf.
     _fused_dqn_sharded): per-chunk seed and counters are traced so chunk
-    launches reuse one Mosaic compilation.  The episodic target sync
-    inside a chunk is a PER-DEVICE decision (global prior count + local
-    in-chunk episode increments) -- consistent with the local-SGD design
-    where learner state may diverge between chunk-boundary pmeans."""
+    launches reuse one Mosaic compilation.  The episodic target sync is
+    a PER-DEVICE decision driven entirely by the kernel's own on-chip
+    per-lane episode counters (env row 12) -- coherent local cadence,
+    consistent with the local-SGD design where learner state may
+    diverge between chunk-boundary pmeans."""
     from merging_gym_tpu.ops import fused_rainbow as FRB
 
     ndev = mesh.shape["data"]
@@ -811,10 +818,8 @@ def _fused_rainbow_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
         # ``rounds`` is this device's shard of the host-drawn stream (the
         # in_spec P("data") splits the [ndev*num_steps] vector).
         idx = jax.lax.axis_index("data")
-        seed = scal[0]
-        dev_seed = (seed * jnp.int32(ndev) + idx) * jnp.int32(num_steps)
-        cfgv = jnp.stack([dev_seed, scal[1], scal[2], scal[3], scal[4],
-                          scal[5]])
+        dev_seed = _dev_seed_block(scal[0], idx, ndev, num_steps)
+        cfgv = jnp.stack([dev_seed, scal[1], scal[2], scal[3], scal[4]])
         arrays = tuple(list(p) + list(tp) + list(m) + list(v) + list(eps)
                        + list(teps) + list(opp_p) + [env, ring])
         out = FRB._call(cfgv, rewards, rounds, arrays, num_steps, n_local,
@@ -829,7 +834,6 @@ def _fused_rainbow_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
                 env_o, ring_o, met_o, jax.lax.pmean(loss_o[0, 0], "data"))
 
     rep8 = tuple(P() for _ in range(8))
-    rep2 = (P(), P())
     lanes = P(None, "data")
     lanes2 = (lanes, lanes)
     return jax.jit(jax.shard_map(
@@ -849,6 +853,7 @@ def spmd_fused_rainbow_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
     from merging_gym_tpu.ops import fused_rainbow as FRB
     from merging_gym_tpu.ops import fused_trainer as FT
 
+    _check_fused_launch(num_steps, env_params)
     ndev = mesh.shape["data"]
     R = carry["R"]
     has_eps = cfg.epsilon is not None
@@ -861,16 +866,14 @@ def spmd_fused_rainbow_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
         bool(cfg.faithful_c51), bool(greedy), FT._interpret_flag())
     # Per-device round draws within the (shared) filled prefix; devices
     # write their rings in lockstep so the fill schedule is global.
-    fill = jnp.minimum(jnp.asarray(carry["steps"], jnp.int32)
-                       + jnp.arange(num_steps, dtype=jnp.int32) + 1, R)
+    fill = FRB.fill_schedule(carry, num_steps)
     ks = jax.random.split(jax.random.key(seed ^ 0x51C), ndev)
     u = jnp.stack([jax.random.uniform(k, (num_steps,)) for k in ks])
     rounds_all = jnp.minimum(
         jnp.floor(u * fill[None, :].astype(jnp.float32)).astype(jnp.int32),
         fill[None, :] - 1).reshape(-1)
     scal = jnp.asarray([seed, env_params.max_steps, carry["warm"],
-                        carry["learns"], carry["steps"] % R,
-                        int(carry["episodes"])], jnp.int32)
+                        carry["learns"], carry["steps"] % R], jnp.int32)
     out = fn(scal, FT.rewards_cfg(env_params), rounds_all, carry["p"],
              carry["tp"], carry["m"], carry["v"], tuple(carry["eps"]),
              tuple(carry["teps"]), carry["opp"], carry["env"],
@@ -878,19 +881,6 @@ def spmd_fused_rainbow_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
     p, tp, m, v, eps, teps, env, ring, met, loss = out
     import numpy as np
     met = np.asarray(met).sum(axis=1)
-    steps = carry["steps"] + num_steps
-    warmup_left = 0 if carry["warm"] else max(1 - carry["steps"], 0)
-    return {
-        **carry,
-        "p": p, "tp": tp, "m": m, "v": v, "eps": eps, "teps": teps,
-        "env": env, "ring": ring,
-        "warm": 1 if steps >= 1 else 0,
-        "steps": steps,
-        "learns": carry["learns"] + max(num_steps - warmup_left, 0),
-        "env_steps": carry["env_steps"] + num_steps * carry["n"],
-        "episodes": carry["episodes"] + float(met[0]),
-        "collisions": carry["collisions"] + float(met[1]),
-        "wins": carry["wins"] + float(met[2]),
-        "sum_ep_reward": carry["sum_ep_reward"] + float(met[3]),
-        "last_loss": float(np.asarray(loss)),
-    }
+    return FRB.apply_rainbow_chunk(
+        carry, tuple(p) + tuple(tp) + tuple(m) + tuple(v) + tuple(eps)
+        + tuple(teps), env, ring, num_steps, met, float(np.asarray(loss)))
