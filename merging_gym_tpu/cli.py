@@ -128,6 +128,27 @@ def _load_frozen_qnet(path):
     raise SystemExit(f"cannot load frozen opponent from {path}")
 
 
+def _load_frozen_hdqn(path, cfg):
+    """Load a frozen hierarchical opponent: a params.npz holding
+    {"upper", "lower"} nets (cli hdqn runs save this layout) or a
+    reference .pth run dir (meta_eval/eval, io.torch_import)."""
+    if path.endswith(".npz"):
+        import jax as _jax
+        from merging_gym_tpu.io.checkpoint import load_params_npz
+        from merging_gym_tpu.nn.mlp import qnet_init
+        like = {
+            "lower": qnet_init(_jax.random.key(0), cfg.obs_dim + 1,
+                               cfg.num_actions, cfg.hidden),
+            "upper": qnet_init(_jax.random.key(0), cfg.obs_dim,
+                               cfg.num_goals, cfg.hidden),
+        }
+        nets = load_params_npz(path, like)
+        return nets["upper"], nets["lower"]
+    from merging_gym_tpu.io import torch_import as ti
+    nets = ti.load_reference_hdqn(path)
+    return nets["meta_eval"], nets["lower_eval"]
+
+
 def _opponent_mode(args):
     """The shared opponent-string -> (mode, frozen params) resolution
     (main.py:161-168's Strategy_OP switch), used by every algo branch."""
@@ -239,12 +260,9 @@ def cmd_train(args):
 
         if env_params.random_start:
             raise SystemExit("--fused-kernel requires deterministic starts")
-        mode, _ = _opponent_mode(args) if args.opponent in ("L0", "selfplay") \
-            else (D.OPP_FROZEN, None)
-        if mode == D.OPP_FROZEN:
-            raise SystemExit("hdqn --fused-kernel supports L0/selfplay "
-                             "opponents; use the XLA path for frozen "
-                             "hierarchical opponents")
+        mode = (D.OPP_L0 if args.opponent == "L0"
+                else D.OPP_SELFPLAY if args.opponent == "selfplay"
+                else D.OPP_FROZEN)
         cfg = H.HDQNConfig(
             opponent=mode,
             memory_capacity=args.memory_capacity or 4 * args.num_envs,
@@ -252,7 +270,11 @@ def cmd_train(args):
             gamma=args.gamma if args.gamma is not None else 0.90,
             epsilon=args.epsilon if args.epsilon is not None else 0.7,
             lr=args.lr or 0.01)
-        carry = FH.fused_hdqn_init(key, cfg, env_params, args.num_envs)
+        opp_u = opp_l = None
+        if mode == D.OPP_FROZEN:
+            opp_u, opp_l = _load_frozen_hdqn(args.opponent, cfg)
+        carry = FH.fused_hdqn_init(key, cfg, env_params, args.num_envs,
+                                   opp_upper=opp_u, opp_lower=opp_l)
         if args.resume:
             mgr = CheckpointManager(os.path.join(args.resume, "ckpt"))
             carry = FH.coerce_hdqn_carry(mgr.restore(carry))
@@ -384,22 +406,7 @@ def cmd_train(args):
             epsilon=args.epsilon if args.epsilon is not None else 0.7)
         opp_u = opp_l = None
         if mode == D.OPP_FROZEN:
-            if args.opponent.endswith(".npz"):
-                import jax as _jax
-                from merging_gym_tpu.io.checkpoint import load_params_npz
-                from merging_gym_tpu.nn.mlp import qnet_init
-                like = {
-                    "lower": qnet_init(_jax.random.key(0), cfg.obs_dim + 1,
-                                       cfg.num_actions, cfg.hidden),
-                    "upper": qnet_init(_jax.random.key(0), cfg.obs_dim,
-                                       cfg.num_goals, cfg.hidden),
-                }
-                nets = load_params_npz(args.opponent, like)
-                opp_u, opp_l = nets["upper"], nets["lower"]
-            else:
-                from merging_gym_tpu.io import torch_import as ti
-                nets = ti.load_reference_hdqn(args.opponent)
-                opp_u, opp_l = nets["meta_eval"], nets["lower_eval"]
+            opp_u, opp_l = _load_frozen_hdqn(args.opponent, cfg)
         carry = H.hdqn_init(key, cfg, env_params, args.num_envs, opp_u, opp_l)
         step_fn = lambda c: H.hdqn_train_chunk(cfg, env_params, c, args.chunk_steps)
         get_params = lambda c: {"lower": c.lower.params, "upper": c.upper.params}
