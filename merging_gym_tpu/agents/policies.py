@@ -124,6 +124,36 @@ def rainbow_policy(params, greedy: bool = False, epsilon: float = EPSILON,
     return Policy(act=_rainbow_act(greedy, epsilon, obs_scale), params=params)
 
 
+@functools.lru_cache(maxsize=None)
+def _hdqn_act(greedy: bool, epsilon: float):
+    from merging_gym_tpu.nn.mlp import qnet_apply
+
+    def act(params, obs, key):
+        upper, lower = params["upper"], params["lower"]
+        # Goal re-selected from the CURRENT obs on every step -- exactly
+        # the reference's goal-drift quirk (hdqn.py:303), which the
+        # trainers reproduce; a stateless greedy evaluation policy is
+        # therefore the faithful one (a goal persists only while it
+        # stays the argmax).
+        g = jnp.argmax(qnet_apply(upper, obs)).astype(jnp.float32)
+        x = jnp.concatenate([g[None], obs])
+        q = qnet_apply(lower, x)
+        if greedy:
+            return jnp.argmax(q).astype(jnp.int32)
+        return eps_greedy_from_q(q, key, epsilon, q.shape[-1])
+
+    return act
+
+
+def hdqn_policy(upper_params, lower_params, greedy: bool = False,
+                epsilon: float = EPSILON) -> Policy:
+    """Hierarchical policy: goal via the meta-controller, action via the
+    goal-conditioned lower net (hdqn.py:283-292), with the every-step
+    goal re-selection quirk (hdqn.py:303)."""
+    return Policy(act=_hdqn_act(greedy, epsilon),
+                  params={"upper": upper_params, "lower": lower_params})
+
+
 def two_player(policy1: Policy, policy2: Policy):
     """Compose two single-player policies into a batched rollout policy_fn.
 
