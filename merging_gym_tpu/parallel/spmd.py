@@ -254,17 +254,28 @@ def spmd_train_init(key, cfg: D.DQNConfig, env_params: EnvParams,
     """
     dp = mesh.shape["data"]
     assert num_envs % dp == 0, (num_envs, dp)
-    carry = D.train_init(key, cfg, env_params, num_envs, opp_params)
-    # Scale the replay to per-device capacity x dp so specs divide evenly;
-    # the cursor gets an explicit per-device axis (see _per_device_cursor).
-    replay = _per_device_cursor(
-        rp.replay_init(cfg.memory_capacity * dp, D.transition_example(cfg)), dp)
-    carry = carry.replace(replay=replay)
-    specs = carry_pspecs(cfg, carry)
+
+    def build(k):
+        carry = D.train_init(k, cfg, env_params, num_envs, opp_params)
+        # Scale the replay to per-device capacity x dp so specs divide
+        # evenly; the cursor gets an explicit per-device axis (see
+        # _per_device_cursor).
+        replay = _per_device_cursor(
+            rp.replay_init(cfg.memory_capacity * dp,
+                           D.transition_example(cfg)), dp)
+        return carry.replace(replay=replay)
+
+    carry = jax.eval_shape(build, key)
     shardings = jax.tree.map(
-        lambda s: jax.sharding.NamedSharding(mesh, s), specs,
-        is_leaf=lambda x: isinstance(x, P))
-    return jax.device_put(carry, shardings)
+        lambda s: jax.sharding.NamedSharding(mesh, s),
+        carry_pspecs(cfg, carry), is_leaf=lambda x: isinstance(x, P))
+    if jax.process_count() > 1:
+        # Multi-process global mesh (examples/multiprocess_dryrun.py):
+        # host data cannot be device_put onto non-addressable devices;
+        # building the carry INSIDE jit with out_shardings places every
+        # process's local shards of the same deterministic computation.
+        return jax.jit(build, out_shardings=shardings)(key)
+    return jax.device_put(build(key), shardings)
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4))
