@@ -70,6 +70,25 @@ def main(proc_id: int, num_procs: int, port: int,
     print(f"PROC{proc_id} OK env_steps={int(carry.metrics.env_steps)} "
           f"params_checksum={csum:.6f}", flush=True)
 
+    # Distributed single-kernel trainer across processes: one Pallas
+    # kernel per device (interpreter on CPU), local-SGD pmean of
+    # params/moments crossing the process boundary at chunk ends.
+    os.environ["MGT_FUSED_INTERPRET"] = "1"
+    dmesh = make_mesh(data=ndev, model=1)
+    fcfg = D.DQNConfig(memory_capacity=2 * ndev * 128,
+                       opponent=D.OPP_SELFPLAY)
+    fcarry = spmd.spmd_fused_dqn_init(jax.random.key(3), fcfg, env_params,
+                                      num_envs=ndev * 128, mesh=dmesh)
+    for s in range(2):
+        fcarry = spmd.spmd_fused_dqn_chunk(dmesh, fcfg, env_params, fcarry,
+                                           3, seed=s, greedy=True)
+    jax.block_until_ready(fcarry["p"][0])
+    assert fcarry["env_steps"] == 6 * ndev * 128
+    fsum = float(sum(np.abs(np.asarray(a.addressable_data(0))).sum()
+                     for a in fcarry["p"]))
+    print(f"PROC{proc_id} FUSED OK env_steps={fcarry['env_steps']} "
+          f"params_checksum={fsum:.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]),

@@ -512,6 +512,17 @@ def _check_fused_launch(num_steps, env_params):
         raise ValueError("fused kernels: deterministic starts only")
 
 
+def _global_put(x, sharding):
+    """device_put that also works on multi-process global meshes, where
+    host data cannot be placed onto non-addressable devices: the value
+    is emitted as a jit constant with out_shardings instead (identical
+    on every process -- all carry arrays are deterministic functions of
+    the shared key)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.jit(lambda: x, out_shardings=sharding)()
+
+
 def _dev_seed_block(seed, idx, ndev, num_steps):
     """Per-device PRNG seed block base: (seed*ndev + idx) * num_steps in
     uint32 (wrapping is DEFINED and harmless for PRNG seeding: blocks
@@ -554,10 +565,10 @@ def spmd_fused_dqn_init(key, cfg: D.DQNConfig, env_params: EnvParams,
     ring = jnp.zeros((carry["ring"].shape[0], num_envs), jnp.float32)
     lanes = NamedSharding(mesh, P(None, "data"))
     rep = NamedSharding(mesh, P())
-    carry["env"] = jax.device_put(env, lanes)
-    carry["ring"] = jax.device_put(ring, lanes)
+    carry["env"] = _global_put(env, lanes)
+    carry["ring"] = _global_put(ring, lanes)
     for k in ("p", "tp", "m", "v", "opp"):
-        carry[k] = tuple(jax.device_put(a, rep) for a in carry[k])
+        carry[k] = tuple(_global_put(a, rep) for a in carry[k])
     carry["n"] = num_envs
     carry["n_local"] = n_local
     return carry
@@ -605,10 +616,14 @@ def _fused_dqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
                        greedy, interpret=interpret)
         po, tpo, mo, vo = out[0:6], out[6:12], out[12:18], out[18:24]
         env_o, ring_o, met_o, loss_o = out[24], out[25], out[26], out[27]
-        # Chunk-boundary local-SGD averaging over ICI.
+        # Chunk-boundary local-SGD averaging over ICI; metric sums are
+        # psum'd so the host reads a replicated [4] vector (required on
+        # multi-process meshes, where lane-sharded arrays are not host
+        # readable).
         avg = lambda t: tuple(jax.lax.pmean(a, "data") for a in t)
         loss = jax.lax.pmean(loss_o[0, 0], "data")
-        return (avg(po), avg(tpo), avg(mo), avg(vo), env_o, ring_o, met_o,
+        met = jax.lax.psum(jnp.sum(met_o, axis=1), "data")
+        return (avg(po), avg(tpo), avg(mo), avg(vo), env_o, ring_o, met,
                 loss)
 
     rep6 = tuple(P() for _ in range(6))
@@ -616,7 +631,7 @@ def _fused_dqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
     return jax.jit(jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(P(), P(), rep6, rep6, rep6, rep6, rep6, lanes, lanes),
-        out_specs=(rep6, rep6, rep6, rep6, lanes, lanes, lanes, P()),
+        out_specs=(rep6, rep6, rep6, rep6, lanes, lanes, P(), P()),
         check_vma=False,
     ))
 
@@ -642,8 +657,7 @@ def spmd_fused_dqn_chunk(mesh: Mesh, cfg: D.DQNConfig, env_params: EnvParams,
     p, tp, m, v, env, ring, met, loss = out
     import numpy as np
     flat = list(p) + list(tp) + list(m) + list(v) + [env, ring]
-    met = np.asarray(met).sum(axis=1)
-    return FT.apply_chunk(carry, flat, num_steps, met,
+    return FT.apply_chunk(carry, flat, num_steps, np.asarray(met),
                           float(np.asarray(loss)))
 
 
@@ -670,14 +684,14 @@ def spmd_fused_hdqn_init(key, cfg, env_params: EnvParams, num_envs: int,
         env_params, n_local)
     lanes = NamedSharding(mesh, P(None, "data"))
     rep = NamedSharding(mesh, P())
-    carry["state"] = jax.device_put(jnp.tile(carry["state"], (1, ndev)), lanes)
-    carry["lo_ring"] = jax.device_put(
+    carry["state"] = _global_put(jnp.tile(carry["state"], (1, ndev)), lanes)
+    carry["lo_ring"] = _global_put(
         jnp.zeros((carry["lo_ring"].shape[0], num_envs), jnp.float32), lanes)
-    carry["up_ring"] = jax.device_put(
+    carry["up_ring"] = _global_put(
         jnp.zeros((carry["up_ring"].shape[0], num_envs), jnp.float32), lanes)
     for k in ("u_p", "u_tp", "u_m", "u_v", "l_p", "l_tp", "l_m", "l_v",
               "opp_u", "opp_l"):
-        carry[k] = tuple(jax.device_put(a, rep) for a in carry[k])
+        carry[k] = tuple(_global_put(a, rep) for a in carry[k])
     carry["n"] = num_envs
     carry["n_local"] = n_local
     return carry
@@ -719,7 +733,8 @@ def _fused_hdqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R_lo: int,
         avg = lambda t: tuple(jax.lax.pmean(a, "data") for a in t)
         groups = tuple(avg(tuple(out[k * 6:(k + 1) * 6])) for k in range(8))
         loss = jax.lax.pmean(out[52][0, 0], "data")
-        return groups, out[48], out[49], out[50], out[51], loss
+        met = jax.lax.psum(jnp.sum(out[51], axis=1), "data")
+        return groups, out[48], out[49], out[50], met, loss
 
     rep6 = tuple(P() for _ in range(6))
     lanes = P(None, "data")
@@ -727,7 +742,7 @@ def _fused_hdqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R_lo: int,
         per_device, mesh=mesh,
         in_specs=(P(), P(), (rep6,) * 4, (rep6,) * 4, rep6, rep6, lanes,
                   lanes, lanes),
-        out_specs=((rep6,) * 8, lanes, lanes, lanes, lanes, P()),
+        out_specs=((rep6,) * 8, lanes, lanes, lanes, P(), P()),
         check_vma=False,
     ))
 
@@ -757,9 +772,9 @@ def spmd_fused_hdqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
     groups, state, lo_ring, up_ring, met, loss = out
     import numpy as np
     from merging_gym_tpu.ops.fused_hdqn import apply_hdqn_chunk
-    met = np.asarray(met).sum(axis=1)
     return apply_hdqn_chunk(carry, groups, state, lo_ring, up_ring,
-                            num_steps, met, float(np.asarray(loss)))
+                            num_steps, np.asarray(met),
+                            float(np.asarray(loss)))
 
 
 def spmd_fused_rainbow_init(key, cfg, env_params: EnvParams, num_envs: int,
@@ -788,8 +803,8 @@ def spmd_fused_rainbow_init(key, cfg, env_params: EnvParams, num_envs: int,
         env_params, n_local, opp_params)
     lanes = NamedSharding(mesh, P(None, "data"))
     rep = NamedSharding(mesh, P())
-    carry["env"] = jax.device_put(jnp.tile(carry["env"], (1, ndev)), lanes)
-    carry["ring"] = jax.device_put(
+    carry["env"] = _global_put(jnp.tile(carry["env"], (1, ndev)), lanes)
+    carry["ring"] = _global_put(
         jnp.zeros((carry["ring"].shape[0], num_envs), jnp.float32), lanes)
     # Per-device noise: ndev independent samples, concatenated lane-wise.
     kn = jax.random.fold_in(key, 3)
@@ -798,8 +813,8 @@ def spmd_fused_rainbow_init(key, cfg, env_params: EnvParams, num_envs: int,
             jax.random.fold_in(jax.random.fold_in(kn, salt), d),
             cfg.num_actions, cfg.num_atoms)) for d in range(ndev)]
         carry[name] = tuple(
-            jax.device_put(jnp.concatenate([pk[j] for pk in packed], axis=1),
-                           lanes) for j in range(2))
+            _global_put(jnp.concatenate([pk[j] for pk in packed], axis=1),
+                        lanes) for j in range(2))
     for k in ("p", "tp", "m", "v", "opp"):
         carry[k] = tuple(jax.device_put(a, rep) for a in carry[k])
     carry["n"] = num_envs
@@ -841,8 +856,9 @@ def _fused_rainbow_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
         eps_o, teps_o = out[32:34], out[34:36]
         env_o, ring_o, met_o, loss_o = out[36], out[37], out[38], out[39]
         avg = lambda t: tuple(jax.lax.pmean(a, "data") for a in t)
+        met = jax.lax.psum(jnp.sum(met_o, axis=1), "data")
         return (avg(po), avg(tpo), avg(mo), avg(vo), eps_o, teps_o,
-                env_o, ring_o, met_o, jax.lax.pmean(loss_o[0, 0], "data"))
+                env_o, ring_o, met, jax.lax.pmean(loss_o[0, 0], "data"))
 
     rep8 = tuple(P() for _ in range(8))
     lanes = P(None, "data")
@@ -852,7 +868,7 @@ def _fused_rainbow_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
         in_specs=(P(), P(), P("data"), rep8, rep8, rep8, rep8, lanes2,
                   lanes2, tuple(P() for _ in range(6)), lanes, lanes),
         out_specs=(rep8, rep8, rep8, rep8, lanes2, lanes2, lanes, lanes,
-                   lanes, P()),
+                   P(), P()),
         check_vma=False,
     ))
 
@@ -891,7 +907,7 @@ def spmd_fused_rainbow_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
              carry["ring"])
     p, tp, m, v, eps, teps, env, ring, met, loss = out
     import numpy as np
-    met = np.asarray(met).sum(axis=1)
+    met = np.asarray(met)
     return FRB.apply_rainbow_chunk(
         carry, tuple(p) + tuple(tp) + tuple(m) + tuple(v) + tuple(eps)
         + tuple(teps), env, ring, num_steps, met, float(np.asarray(loss)))

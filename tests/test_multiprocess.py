@@ -49,9 +49,12 @@ def test_two_process_distributed_training():
         out, _ = p.communicate(timeout=300)
         outs.append(out)
         assert p.returncode == 0, out[-2000:]
-    lines = [next(ln for ln in out.splitlines() if ln.startswith("PROC"))
-             for out in outs]
-    # Same step count, same replicated-params checksum on both processes.
-    assert [ln.split(" ", 1)[1] for ln in lines][0] == \
-        [ln.split(" ", 1)[1] for ln in lines][1], lines
-    assert "env_steps=72" in lines[0]
+    for tag, steps in (("PROC0 OK", 72), ("PROC0 FUSED OK", 3072)):
+        want = [ln for out in outs for ln in out.splitlines()
+                if ln.startswith(tag.replace("PROC0", "PROC0"))
+                or ln.startswith(tag.replace("PROC0", "PROC1"))]
+        assert len(want) == 2, (tag, outs)
+        # Same step count, same replicated-params checksum on BOTH
+        # processes (XLA dp x tp step, then the fused local-SGD kernel).
+        assert want[0].split(" ", 1)[1] == want[1].split(" ", 1)[1], want
+        assert f"env_steps={steps}" in want[0]
