@@ -89,6 +89,25 @@ def main(proc_id: int, num_procs: int, port: int,
     print(f"PROC{proc_id} FUSED OK env_steps={fcarry['env_steps']} "
           f"params_checksum={fsum:.6f}", flush=True)
 
+    # Distributed fused Rainbow: adds the lane-sharded per-device NOISE
+    # (each process generates and keeps its own shards) to the same
+    # cross-process local-SGD pattern.
+    from merging_gym_tpu.agents import rainbow as R
+
+    rcfg = R.RainbowConfig(memory_capacity=2 * ndev * 128, obs_scale=0.01,
+                           opponent=D.OPP_SELFPLAY)
+    rcarry = spmd.spmd_fused_rainbow_init(jax.random.key(5), rcfg,
+                                          env_params, num_envs=ndev * 128,
+                                          mesh=dmesh)
+    rcarry = spmd.spmd_fused_rainbow_chunk(dmesh, rcfg, env_params, rcarry,
+                                           3, seed=0, greedy=True)
+    jax.block_until_ready(rcarry["p"][0])
+    assert rcarry["env_steps"] == 3 * ndev * 128
+    rsum = float(sum(np.abs(np.asarray(a.addressable_data(0))).sum()
+                     for a in rcarry["p"]))
+    print(f"PROC{proc_id} RAINBOW OK env_steps={rcarry['env_steps']} "
+          f"params_checksum={rsum:.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]),

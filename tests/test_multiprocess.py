@@ -49,7 +49,8 @@ def test_two_process_distributed_training():
         out, _ = p.communicate(timeout=300)
         outs.append(out)
         assert p.returncode == 0, out[-2000:]
-    for tag, steps in (("PROC0 OK", 72), ("PROC0 FUSED OK", 3072)):
+    for tag, steps in (("PROC0 OK", 72), ("PROC0 FUSED OK", 3072),
+                       ("PROC0 RAINBOW OK", 1536)):
         want = [ln for out in outs for ln in out.splitlines()
                 if ln.startswith(tag.replace("PROC0", "PROC0"))
                 or ln.startswith(tag.replace("PROC0", "PROC1"))]
