@@ -329,9 +329,9 @@ def cmd_train(args):
             raise SystemExit("rainbow --fused-kernel is the reference "
                              "configuration (uniform ring, 1-step); drop "
                              "--per/--n-step or the --fused-kernel flag")
-        if args.learn_batch or args.learn_rounds != 1:
-            raise SystemExit("--learn-batch/--learn-rounds are dqn-only "
-                             "fused options")
+        if args.learn_rounds != 1:
+            raise SystemExit("--learn-rounds is a dqn-only fused option "
+                             "(rainbow supports --learn-batch)")
         mode, opp = _opponent_mode(args)
         cfg = R.RainbowConfig(
             opponent=mode,
@@ -340,7 +340,7 @@ def cmd_train(args):
             epsilon=args.epsilon, obs_scale=args.obs_scale,
             lr=args.lr or 1e-3)
         carry = FRB.fused_rainbow_init(key, cfg, env_params, args.num_envs,
-                                       opp)
+                                       opp, learn_batch=args.learn_batch)
         if args.resume:
             mgr = CheckpointManager(os.path.join(args.resume, "ckpt"))
             carry = FRB.coerce_rainbow_carry(mgr.restore(carry))

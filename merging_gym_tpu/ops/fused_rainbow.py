@@ -376,8 +376,8 @@ def _fresh_eps():
     return jnp.concatenate(segs), _f_scale(_normals((NP, 1)))
 
 
-def _kernel(cfg_ref, rewards_ref, rounds_ref, *refs,
-            n, R, opp, roll, p_greedy, has_eps, gamma, lr, sync_eps,
+def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
+            n, R, B, opp, roll, p_greedy, has_eps, gamma, lr, sync_eps,
             obs_scale, faithful, greedy):
     # inputs: p 8, tp 8, m 8, v 8, eps 2, teps 2, opp 6, env 1, ring 1 (44)
     # outputs: p 8, tp 8, m 8, v 8, eps 2, teps 2, env 1, ring 1, met 1,
@@ -496,7 +496,15 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, *refs,
 
     @pl.when(can_learn)
     def _():
-        s = ring_o[pl.ds(rounds_ref[i] * NUM_F, NUM_F), :]
+        if B == n:
+            s = ring_o[pl.ds(rounds_ref[i] * NUM_F, NUM_F), :]
+        else:
+            # Uniformly chosen disjoint B-lane window of the chosen round
+            # (the fused_trainer learn_batch pattern: cuts the dominant
+            # C51 learner cost by n/B and restores a reference-scale
+            # batch, ranbowdqn.py:682 uses 32).
+            s = ring_o[pl.ds(rounds_ref[i] * NUM_F, NUM_F),
+                       pl.ds(cols_ref[i] * B, B)]
         batch = {"obs": s[0:10], "next_obs": s[10:20],
                  "action": s[20].astype(jnp.int32), "reward": s[21],
                  "done": s[22] > 0.5}
@@ -564,20 +572,20 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, *refs,
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("num_steps", "n", "R", "opp", "roll",
+    jax.jit, static_argnames=("num_steps", "n", "R", "B", "opp", "roll",
                               "p_greedy", "has_eps", "gamma", "lr",
                               "sync_eps", "obs_scale", "faithful", "greedy",
                               "interpret"))
-def _call(cfg, rewards_vec, rounds, arrays, num_steps, n, R, opp, roll,
-          p_greedy, has_eps, gamma, lr, sync_eps, obs_scale, faithful,
+def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, opp,
+          roll, p_greedy, has_eps, gamma, lr, sync_eps, obs_scale, faithful,
           greedy, interpret=False):
     kernel = functools.partial(
-        _kernel, n=n, R=R, opp=opp, roll=roll, p_greedy=p_greedy,
+        _kernel, n=n, R=R, B=B, opp=opp, roll=roll, p_greedy=p_greedy,
         has_eps=has_eps, gamma=gamma, lr=lr, sync_eps=sync_eps,
         obs_scale=obs_scale, faithful=faithful, greedy=greedy)
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
-    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
                 + [whole(a.shape) for a in arrays])
     state_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
                     for a in arrays[:36]]          # p, tp, m, v, eps, teps
@@ -598,14 +606,19 @@ def _call(cfg, rewards_vec, rounds, arrays, num_steps, n, R, opp, roll,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         **extra,
-    )(cfg, rewards_vec, rounds, *arrays)
+    )(cfg, rewards_vec, rounds, cols, *arrays)
 
 
-def fused_rainbow_init(key, cfg, env_params, num_envs, opp_params=None):
+def fused_rainbow_init(key, cfg, env_params, num_envs, opp_params=None,
+                       learn_batch=None):
     """Fresh training state for the single-kernel Rainbow trainer.
 
     ``cfg``: agents.rainbow.RainbowConfig.  ``cfg.batch_size`` is
-    ignored (the learner batch is one ``num_envs``-lane slab);
+    ignored: the learner batch is ``num_envs`` unless ``learn_batch``
+    (a multiple of 128 dividing num_envs) is given, in which case each
+    learn consumes a uniformly chosen disjoint lane window of that
+    width -- the dominant C51 learner cost scales down by
+    num_envs/learn_batch (cf. ops.fused_trainer's learn_batch).
     ``cfg.memory_capacity`` must be k*num_envs with k>=2; PER and
     n-step>1 stay on the XLA path (module docstring).
     """
@@ -620,6 +633,10 @@ def fused_rainbow_init(key, cfg, env_params, num_envs, opp_params=None):
                          f"{ATOMS} atoms")
     if num_envs % 128 != 0:
         raise ValueError(f"num_envs must be a multiple of 128, got {num_envs}")
+    B = num_envs if learn_batch is None else int(learn_batch)
+    if B % 128 != 0 or num_envs % B != 0:
+        raise ValueError("learn_batch must be a multiple of 128 dividing "
+                         f"num_envs, got learn_batch={B} num_envs={num_envs}")
     R = cfg.memory_capacity // num_envs
     if R < 2 or cfg.memory_capacity != R * num_envs:
         raise ValueError("memory_capacity must be k*num_envs with k>=2, got "
@@ -652,7 +669,8 @@ def fused_rainbow_init(key, cfg, env_params, num_envs, opp_params=None):
             rainbow_sample_noise(k_n2, cfg.num_actions, cfg.num_atoms)),
         "opp": opp,
         "env": jnp.asarray(env), "ring": jnp.zeros((R * NUM_F, n), jnp.float32),
-        "R": R, "n": n, "warm": 0, "learns": 0, "steps": 0, "env_steps": 0,
+        "R": R, "n": n, "B": B, "warm": 0, "learns": 0, "steps": 0,
+        "env_steps": 0,
         "episodes": 0.0, "collisions": 0.0, "wins": 0.0, "sum_ep_reward": 0.0,
         "last_loss": 0.0,
     }
@@ -694,15 +712,17 @@ def apply_rainbow_chunk(carry, out36, env, ring, num_steps, met_sum, loss):
 
 
 def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
-                        greedy=False, rounds=None):
+                        greedy=False, rounds=None, cols=None):
     """Run ``num_steps`` Rainbow training steps in ONE kernel launch.
 
     ``rounds`` (i32 [num_steps], default host-drawn from ``seed``): the
     per-step uniform round draw, each within the ring's filled prefix at
-    that step.  ``greedy=True`` freezes the noise and skips the PRNG
-    (module docstring) -- the e2e determinism mode.
+    that step; ``cols`` likewise draws the lane window when
+    ``learn_batch < num_envs``.  ``greedy=True`` freezes the noise and
+    skips the PRNG (module docstring) -- the e2e determinism mode.
     """
     R, n = carry["R"], carry["n"]
+    B = carry.get("B", n)
     if num_steps < 1:
         raise ValueError(f"num_steps must be >= 1, got {num_steps} (a "
                          "zero-iteration grid would skip the state copy "
@@ -713,15 +733,20 @@ def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
         fill = fill_schedule(carry, num_steps)
         rounds = jnp.floor(u * fill.astype(jnp.float32)).astype(jnp.int32)
         rounds = jnp.minimum(rounds, fill - 1)
+    if cols is None:
+        cols = jax.random.randint(jax.random.key(seed ^ 0xC01), (num_steps,),
+                                  0, n // B, jnp.int32)
     rounds = jnp.asarray(rounds, jnp.int32)
-    if rounds.shape != (num_steps,):
-        raise ValueError("rounds must be i32 [num_steps]")
-    rnp = np.asarray(rounds)
-    if rnp.min() < 0 or rnp.max() >= R:
-        raise ValueError(f"rounds must lie in [0, {R}), got "
-                         f"[{rnp.min()}, {rnp.max()}] (out-of-range values "
-                         "would clamp to the ring edge and silently train "
-                         "on the wrong slab)")
+    cols = jnp.asarray(cols, jnp.int32)
+    if rounds.shape != (num_steps,) or cols.shape != (num_steps,):
+        raise ValueError("rounds/cols must be i32 [num_steps]")
+    rnp, cnp = np.asarray(rounds), np.asarray(cols)
+    if (rnp.min() < 0 or rnp.max() >= R
+            or cnp.min() < 0 or cnp.max() >= n // B):
+        raise ValueError(f"rounds must lie in [0, {R}) and cols in "
+                         f"[0, {n // B}) (out-of-range values would clamp "
+                         "to the buffer edge and silently train on the "
+                         "wrong slab)")
     if env_params.random_start:
         raise ValueError("fused rainbow: deterministic starts only")
     cfgv = jnp.asarray([seed, env_params.max_steps, carry["warm"],
@@ -730,8 +755,8 @@ def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
               + list(carry["v"]) + list(carry["eps"]) + list(carry["teps"])
               + list(carry["opp"]) + [carry["env"], carry["ring"]])
     has_eps = cfg.epsilon is not None
-    out = _call(cfgv, rewards_cfg(env_params), rounds, tuple(arrays),
-                num_steps, n, R, cfg.opponent, int(cfg.opponent_roll),
+    out = _call(cfgv, rewards_cfg(env_params), rounds, cols, tuple(arrays),
+                num_steps, n, R, B, cfg.opponent, int(cfg.opponent_roll),
                 _phi(cfg.epsilon) if has_eps else 1.0, has_eps,
                 float(cfg.gamma), float(cfg.lr),
                 float(cfg.target_sync_episodes),
@@ -750,6 +775,7 @@ def coerce_rainbow_carry(carry):
     out = dict(carry)
     for k in ("R", "n", "warm", "learns", "steps", "env_steps"):
         out[k] = int(out[k])
+    out["B"] = int(out.get("B", out["n"]))
     for k in ("episodes", "collisions", "wins", "sum_ep_reward", "last_loss"):
         out[k] = float(out[k])
     for k in ("p", "tp", "m", "v", "eps", "teps", "opp"):

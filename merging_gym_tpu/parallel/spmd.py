@@ -778,7 +778,7 @@ def spmd_fused_hdqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
 
 
 def spmd_fused_rainbow_init(key, cfg, env_params: EnvParams, num_envs: int,
-                            mesh: Mesh, opp_params=None):
+                            mesh: Mesh, opp_params=None, learn_batch=None):
     """Sharded fused-Rainbow carry (cf. spmd_fused_dqn_init): env rows +
     ring lane-sharded over ``data``, learner tensors replicated, and the
     two nets' NOISE lane-sharded as [464, 64*ndev] -- every device keeps
@@ -800,7 +800,7 @@ def spmd_fused_rainbow_init(key, cfg, env_params: EnvParams, num_envs: int,
     n_local = num_envs // ndev
     carry = FRB.fused_rainbow_init(
         key, cfg.replace(memory_capacity=cfg.memory_capacity // ndev),
-        env_params, n_local, opp_params)
+        env_params, n_local, opp_params, learn_batch=learn_batch)
     lanes = NamedSharding(mesh, P(None, "data"))
     rep = NamedSharding(mesh, P())
     carry["env"] = _global_put(jnp.tile(carry["env"], (1, ndev)), lanes)
@@ -824,7 +824,7 @@ def spmd_fused_rainbow_init(key, cfg, env_params: EnvParams, num_envs: int,
 
 @lru_cache(maxsize=None)
 def _fused_rainbow_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
-                           opp: int, roll: int, p_greedy: float,
+                           B: int, opp: int, roll: int, p_greedy: float,
                            has_eps: bool, gamma: float, lr: float,
                            sync_eps: float, obs_scale, faithful: bool,
                            greedy: bool, interpret: bool):
@@ -842,15 +842,19 @@ def _fused_rainbow_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
     def per_device(scal, rewards, rounds, p, tp, m, v, eps, teps, opp_p,
                    env, ring):
         # ``rounds`` is this device's shard of the host-drawn stream (the
-        # in_spec P("data") splits the [ndev*num_steps] vector).
+        # in_spec P("data") splits the [ndev*num_steps] vector); the lane
+        # window is drawn per device from the shared chunk key.
         idx = jax.lax.axis_index("data")
         dev_seed = _dev_seed_block(scal[0], idx, ndev, num_steps)
+        kc = jax.random.fold_in(jax.random.key(scal[0] ^ 0xC01), idx)
+        cols = jax.random.randint(kc, (num_steps,), 0, n_local // B,
+                                  jnp.int32)
         cfgv = jnp.stack([dev_seed, scal[1], scal[2], scal[3], scal[4]])
         arrays = tuple(list(p) + list(tp) + list(m) + list(v) + list(eps)
                        + list(teps) + list(opp_p) + [env, ring])
-        out = FRB._call(cfgv, rewards, rounds, arrays, num_steps, n_local,
-                        R, opp, roll, p_greedy, has_eps, gamma, lr,
-                        sync_eps, obs_scale, faithful, greedy,
+        out = FRB._call(cfgv, rewards, rounds, cols, arrays, num_steps,
+                        n_local, R, B, opp, roll, p_greedy, has_eps, gamma,
+                        lr, sync_eps, obs_scale, faithful, greedy,
                         interpret=interpret)
         po, tpo, mo, vo = out[0:8], out[8:16], out[16:24], out[24:32]
         eps_o, teps_o = out[32:34], out[34:36]
@@ -883,9 +887,10 @@ def spmd_fused_rainbow_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
     _check_fused_launch(num_steps, env_params)
     ndev = mesh.shape["data"]
     R = carry["R"]
+    B = carry.get("B", carry["n_local"])
     has_eps = cfg.epsilon is not None
     fn = _fused_rainbow_sharded(
-        mesh, num_steps, carry["n_local"], R, cfg.opponent,
+        mesh, num_steps, carry["n_local"], R, B, cfg.opponent,
         int(cfg.opponent_roll), FT._phi(cfg.epsilon) if has_eps else 1.0,
         has_eps, float(cfg.gamma), float(cfg.lr),
         float(cfg.target_sync_episodes),

@@ -160,10 +160,11 @@ def _race_start(n, seed):
     return pos, vel
 
 
-def _mk(cfg, ep, n, seed, race=None):
+def _mk(cfg, ep, n, seed, race=None, learn_batch=None):
     from merging_gym_tpu.core.geometry import lon2coord
 
-    carry = FR.fused_rainbow_init(jax.random.key(seed), cfg, ep, n)
+    carry = FR.fused_rainbow_init(jax.random.key(seed), cfg, ep, n,
+                                  learn_batch=learn_batch)
     if race is not None:
         pos, vel = race
         env = np.asarray(carry["env"]).copy()
@@ -176,7 +177,8 @@ def _mk(cfg, ep, n, seed, race=None):
     return carry
 
 
-def _xla_reference(cfg, ep, carry0, rounds, noise, tnoise, race=None):
+def _xla_reference(cfg, ep, carry0, rounds, noise, tnoise, race=None,
+                   cols=None):
     """The kernel's exact semantics from independent components: actor
     via rainbow_apply (different layout), learner via rainbow_learn_math
     (autodiff-locked above), numpy ring, episodic sync."""
@@ -233,6 +235,9 @@ def _xla_reference(cfg, ep, carry0, rounds, noise, tnoise, race=None):
         # Learner: gate = one prior round stored.
         if i >= 1:
             s = ring[rounds[i] * FT.NUM_F:(rounds[i] + 1) * FT.NUM_F]
+            if cols is not None:
+                B = carry0["B"]
+                s = s[:, cols[i] * B:(cols[i] + 1) * B]
             batch = {
                 "obs": jnp.asarray(s[0:10]),
                 "next_obs": jnp.asarray(s[10:20]),
@@ -291,11 +296,13 @@ def _check(carry, want):
                                rtol=1e-3, atol=1e-6)
 
 
-def _run_chunks(cfg, ep, carry, rounds, splits):
+def _run_chunks(cfg, ep, carry, rounds, splits, cols=None):
     lo = 0
     for hi in splits + [len(rounds)]:
-        carry = FR.fused_rainbow_chunk(cfg, ep, carry, hi - lo, seed=0,
-                                       greedy=True, rounds=rounds[lo:hi])
+        carry = FR.fused_rainbow_chunk(
+            cfg, ep, carry, hi - lo, seed=0, greedy=True,
+            rounds=rounds[lo:hi],
+            cols=None if cols is None else cols[lo:hi])
         lo = hi
     return carry
 
@@ -364,6 +371,27 @@ def _noise_trees(carry):
              for a in range(FR.A)]),
     }
     return tree, None
+
+
+def test_e2e_lane_window_batch():
+    """learn_batch < num_envs: the dynamic lane-window slice cutting the
+    dominant C51 learner cost, locked against the same XLA reference."""
+    n, B, T = 256, 128, 20
+    cfg = RainbowConfig(lr=1e-3, gamma=0.9, target_sync_episodes=4,
+                        memory_capacity=2 * n, obs_scale=0.01,
+                        opponent=FT.OPP_L0)
+    ep = EnvParams(max_steps=18)
+    rng = np.random.default_rng(15)
+    rounds = np.minimum(rng.integers(0, 2, T), np.arange(T)).astype(np.int32)
+    cols = rng.integers(0, n // B, T).astype(np.int32)
+    assert cols.min() == 0 and cols.max() == 1, "both windows exercised"
+
+    race = _race_start(n, seed=800)
+    carry = _mk(cfg, ep, n, seed=11, race=race, learn_batch=B)
+    want = _xla_reference(cfg, ep, carry, rounds, *_noise_trees(carry),
+                          race=race, cols=cols)
+    got = _run_chunks(cfg, ep, carry, rounds, splits=[5], cols=cols)
+    _check(got, want)
 
 
 def test_orbax_roundtrip_resume_equals_continue(tmp_path):
