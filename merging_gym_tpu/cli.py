@@ -274,7 +274,8 @@ def cmd_train(args):
         if mode == D.OPP_FROZEN:
             opp_u, opp_l = _load_frozen_hdqn(args.opponent, cfg)
         carry = FH.fused_hdqn_init(key, cfg, env_params, args.num_envs,
-                                   opp_upper=opp_u, opp_lower=opp_l)
+                                   opp_upper=opp_u, opp_lower=opp_l,
+                                   learn_batch=args.learn_batch)
         if args.resume:
             mgr = CheckpointManager(os.path.join(args.resume, "ckpt"))
             carry = FH.coerce_hdqn_carry(mgr.restore(carry))

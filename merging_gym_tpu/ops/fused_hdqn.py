@@ -79,9 +79,10 @@ def _goal_status(obs10):
                      jnp.where(dx1 < 0.5 * v2, 1, 2)).astype(jnp.int32)
 
 
-def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, *refs,
-            n, R_lo, R_up, opp, p_greedy, num_actions, num_goals, gamma, lr,
-            target_sync, mask_terminal, greedy):
+def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, cols_ref,
+            *refs,
+            n, R_lo, R_up, B, opp, p_greedy, num_actions, num_goals, gamma,
+            lr, target_sync, mask_terminal, greedy):
     # inputs: u_p 6, u_tp 6, u_m 6, u_v 6, l_p 6, l_tp 6, l_m 6, l_v 6,
     #         opp_u 6, opp_l 6, state 1, lo_ring 1, up_ring 1   (63)
     # outputs: the 48 learner arrays + state + lo_ring + up_ring + met +
@@ -196,7 +197,14 @@ def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, *refs,
 
     @pl.when(can_lo)
     def _():
-        s = lo_o[pl.ds(lo_rounds_ref[i] * LO_F, LO_F), :]
+        if B == n:
+            s = lo_o[pl.ds(lo_rounds_ref[i] * LO_F, LO_F), :]
+        else:
+            # Uniformly chosen disjoint B-lane window (the fused_trainer
+            # learn_batch pattern) -- cuts both learners' matmul work by
+            # n/B and restores a reference-scale batch (hdqn.py:17: 128).
+            s = lo_o[pl.ds(lo_rounds_ref[i] * LO_F, LO_F),
+                     pl.ds(cols_ref[2 * i] * B, B)]
         batch = {"obs": s[0:11], "next_obs": s[11:22],
                  "action": s[22].astype(jnp.int32), "reward": s[23],
                  "done": s[24] > 0.5}
@@ -237,7 +245,11 @@ def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, *refs,
 
     @pl.when(can_up)
     def _():
-        s = up_o[pl.ds(up_rounds_ref[i] * UP_F, UP_F), :]
+        if B == n:
+            s = up_o[pl.ds(up_rounds_ref[i] * UP_F, UP_F), :]
+        else:
+            s = up_o[pl.ds(up_rounds_ref[i] * UP_F, UP_F),
+                     pl.ds(cols_ref[2 * i + 1] * B, B)]
         batch = {"obs": s[0:10], "next_obs": s[10:20],
                  "action": s[20].astype(jnp.int32), "reward": s[21],
                  "done": s[22] > 0.5}
@@ -281,20 +293,20 @@ def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, *refs,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_steps", "n", "R_lo", "R_up", "opp",
+    jax.jit, static_argnames=("num_steps", "n", "R_lo", "R_up", "B", "opp",
                               "p_greedy", "num_actions", "num_goals", "gamma",
                               "lr", "target_sync", "mask_terminal", "greedy",
                               "interpret"))
-def _call(cfg, rewards_vec, lo_rounds, up_rounds, arrays, num_steps, n, R_lo,
-          R_up, opp, p_greedy, num_actions, num_goals, gamma, lr, target_sync,
-          mask_terminal, greedy, interpret=False):
+def _call(cfg, rewards_vec, lo_rounds, up_rounds, cols, arrays, num_steps, n,
+          R_lo, R_up, B, opp, p_greedy, num_actions, num_goals, gamma, lr,
+          target_sync, mask_terminal, greedy, interpret=False):
     kernel = functools.partial(
-        _kernel, n=n, R_lo=R_lo, R_up=R_up, opp=opp, p_greedy=p_greedy,
+        _kernel, n=n, R_lo=R_lo, R_up=R_up, B=B, opp=opp, p_greedy=p_greedy,
         num_actions=num_actions, num_goals=num_goals, gamma=gamma, lr=lr,
         target_sync=target_sync, mask_terminal=mask_terminal, greedy=greedy)
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
-    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
                 + [whole(a.shape) for a in arrays])
     learner_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
                       for a in arrays[:48]]
@@ -316,11 +328,11 @@ def _call(cfg, rewards_vec, lo_rounds, up_rounds, arrays, num_steps, n, R_lo,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         **extra,
-    )(cfg, rewards_vec, lo_rounds, up_rounds, *arrays)
+    )(cfg, rewards_vec, lo_rounds, up_rounds, cols, *arrays)
 
 
 def fused_hdqn_init(key, cfg, env_params, num_envs, opp_upper=None,
-                    opp_lower=None):
+                    opp_lower=None, learn_batch=None):
     """Fresh training state for the single-kernel hierarchical trainer.
 
     ``cfg``: agents.hdqn.HDQNConfig.  ``cfg.memory_capacity`` (lower) and
@@ -336,6 +348,10 @@ def fused_hdqn_init(key, cfg, env_params, num_envs, opp_upper=None,
                          "use agents.hdqn for the textbook meta transition")
     if num_envs % 128 != 0:
         raise ValueError(f"num_envs must be a multiple of 128, got {num_envs}")
+    B = num_envs if learn_batch is None else int(learn_batch)
+    if B % 128 != 0 or num_envs % B != 0:
+        raise ValueError("learn_batch must be a multiple of 128 dividing "
+                         f"num_envs, got learn_batch={B} num_envs={num_envs}")
     R_lo = cfg.memory_capacity // num_envs
     R_up = cfg.goal_memory_capacity // num_envs
     for name, cap, R in (("memory_capacity", cfg.memory_capacity, R_lo),
@@ -376,7 +392,7 @@ def fused_hdqn_init(key, cfg, env_params, num_envs, opp_upper=None,
         "state": jnp.asarray(st),
         "lo_ring": jnp.zeros((R_lo * LO_F, n), jnp.float32),
         "up_ring": jnp.zeros((R_up * UP_F, n), jnp.float32),
-        "R_lo": R_lo, "R_up": R_up, "n": n,
+        "R_lo": R_lo, "R_up": R_up, "n": n, "B": B,
         "warm_lo": 0, "warm_up": 0, "lo_learns": 0, "steps": 0,
         "env_steps": 0, "episodes": 0.0, "collisions": 0.0, "wins": 0.0,
         "sum_ep_reward": 0.0, "last_loss": 0.0,
@@ -413,9 +429,15 @@ def apply_hdqn_chunk(carry, groups, state, lo_ring, up_ring, num_steps,
 
 
 def fused_hdqn_chunk(cfg, env_params, carry, num_steps, seed, *,
-                     greedy=False, lo_rounds=None, up_rounds=None):
-    """Run ``num_steps`` hierarchical training steps in ONE kernel launch."""
+                     greedy=False, lo_rounds=None, up_rounds=None,
+                     cols=None):
+    """Run ``num_steps`` hierarchical training steps in ONE kernel launch.
+
+    ``cols`` (i32 [2*num_steps], default host-drawn): interleaved
+    (lower, upper) lane-window draws used when ``learn_batch < n``.
+    """
     R_lo, R_up, n = carry["R_lo"], carry["R_up"], carry["n"]
+    B = carry.get("B", n)
     if num_steps < 1:
         raise ValueError(f"num_steps must be >= 1, got {num_steps} (a "
                          "zero-iteration grid would skip the state copy "
@@ -425,10 +447,19 @@ def fused_hdqn_chunk(cfg, env_params, carry, num_steps, seed, *,
         lo_rounds = jax.random.randint(k1, (num_steps,), 0, R_lo, jnp.int32)
     if up_rounds is None:
         up_rounds = jax.random.randint(k2, (num_steps,), 0, R_up, jnp.int32)
+    if cols is None:
+        cols = jax.random.randint(jax.random.key(seed ^ 0xC01),
+                                  (2 * num_steps,), 0, n // B, jnp.int32)
     lo_rounds = jnp.asarray(lo_rounds, jnp.int32)
     up_rounds = jnp.asarray(up_rounds, jnp.int32)
-    if lo_rounds.shape != (num_steps,) or up_rounds.shape != (num_steps,):
-        raise ValueError("lo_rounds/up_rounds must be i32 [num_steps]")
+    cols = jnp.asarray(cols, jnp.int32)
+    if (lo_rounds.shape != (num_steps,) or up_rounds.shape != (num_steps,)
+            or cols.shape != (2 * num_steps,)):
+        raise ValueError("lo_rounds/up_rounds must be i32 [num_steps], "
+                         "cols i32 [2*num_steps]")
+    cnp = np.asarray(cols)
+    if cnp.min() < 0 or cnp.max() >= n // B:
+        raise ValueError(f"cols must lie in [0, {n // B})")
     lnp, unp = np.asarray(lo_rounds), np.asarray(up_rounds)
     if (lnp.min() < 0 or lnp.max() >= R_lo
             or unp.min() < 0 or unp.max() >= R_up):
@@ -453,8 +484,9 @@ def fused_hdqn_chunk(cfg, env_params, carry, num_steps, seed, *,
               + list(carry["l_m"]) + list(carry["l_v"])
               + list(carry["opp_u"]) + list(carry["opp_l"])
               + [carry["state"], carry["lo_ring"], carry["up_ring"]])
-    out = _call(cfgv, rewards_vec, lo_rounds, up_rounds, tuple(arrays),
-                num_steps, n, R_lo, R_up, cfg.opponent, _phi(cfg.epsilon),
+    out = _call(cfgv, rewards_vec, lo_rounds, up_rounds, cols,
+                tuple(arrays),
+                num_steps, n, R_lo, R_up, B, cfg.opponent, _phi(cfg.epsilon),
                 cfg.num_actions, cfg.num_goals, float(cfg.gamma),
                 float(cfg.lr), int(cfg.target_sync), bool(cfg.mask_terminal),
                 bool(greedy),
@@ -473,6 +505,7 @@ def coerce_hdqn_carry(carry):
     for k in ("R_lo", "R_up", "n", "warm_lo", "warm_up", "lo_learns",
               "steps", "env_steps"):
         out[k] = int(out[k])
+    out["B"] = int(out.get("B", out["n"]))
     for k in ("episodes", "collisions", "wins", "sum_ep_reward", "last_loss"):
         out[k] = float(out[k])
     for k in ("u_p", "u_tp", "u_m", "u_v", "l_p", "l_tp", "l_m", "l_v",

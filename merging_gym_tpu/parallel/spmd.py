@@ -662,7 +662,7 @@ def spmd_fused_dqn_chunk(mesh: Mesh, cfg: D.DQNConfig, env_params: EnvParams,
 
 
 def spmd_fused_hdqn_init(key, cfg, env_params: EnvParams, num_envs: int,
-                         mesh: Mesh):
+                         mesh: Mesh, learn_batch=None):
     """Sharded fused-hdqn carry (cf. spmd_fused_dqn_init): state rows +
     both replay rings lane-sharded over ``data``, learner state
     replicated.  Capacities are GLOBAL transition counts."""
@@ -681,7 +681,7 @@ def spmd_fused_hdqn_init(key, cfg, env_params: EnvParams, num_envs: int,
     carry = FH.fused_hdqn_init(
         key, cfg.replace(memory_capacity=cfg.memory_capacity // ndev,
                          goal_memory_capacity=cfg.goal_memory_capacity // ndev),
-        env_params, n_local)
+        env_params, n_local, learn_batch=learn_batch)
     lanes = NamedSharding(mesh, P(None, "data"))
     rep = NamedSharding(mesh, P())
     carry["state"] = _global_put(jnp.tile(carry["state"], (1, ndev)), lanes)
@@ -699,7 +699,7 @@ def spmd_fused_hdqn_init(key, cfg, env_params: EnvParams, num_envs: int,
 
 @lru_cache(maxsize=None)
 def _fused_hdqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R_lo: int,
-                        R_up: int, opp: int, p_greedy: float,
+                        R_up: int, B: int, opp: int, p_greedy: float,
                         num_actions: int, num_goals: int, gamma: float,
                         lr: float, target_sync: int, mask_terminal: bool,
                         greedy: bool, interpret: bool):
@@ -717,16 +717,18 @@ def _fused_hdqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R_lo: int,
         seed = scal[0]
         dev_seed = _dev_seed_block(seed, idx, ndev, num_steps)
         kd = jax.random.fold_in(jax.random.key(seed ^ 0x4D0), idx)
-        k1, k2 = jax.random.split(kd)
+        k1, k2, k3 = jax.random.split(kd, 3)
         lo_rounds = jax.random.randint(k1, (num_steps,), 0, R_lo, jnp.int32)
         up_rounds = jax.random.randint(k2, (num_steps,), 0, R_up, jnp.int32)
+        cols = jax.random.randint(k3, (2 * num_steps,), 0, n_local // B,
+                                  jnp.int32)
         cfgv = jnp.stack([dev_seed, scal[1], scal[2], scal[3], scal[4],
                           scal[5]])
         arrays = tuple(sum((list(g) for g in u6x4 + l6x4), [])
                        + list(opp_u) + list(opp_l)
                        + [state, lo_ring, up_ring])
-        out = FH._call(cfgv, rewards, lo_rounds, up_rounds,
-                       arrays, num_steps, n_local, R_lo, R_up, opp,
+        out = FH._call(cfgv, rewards, lo_rounds, up_rounds, cols,
+                       arrays, num_steps, n_local, R_lo, R_up, B, opp,
                        p_greedy, num_actions, num_goals,
                        gamma, lr, target_sync,
                        mask_terminal, greedy, interpret=interpret)
@@ -756,6 +758,7 @@ def spmd_fused_hdqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
     _check_fused_launch(num_steps, env_params)
     R_lo, R_up = carry["R_lo"], carry["R_up"]
     fn = _fused_hdqn_sharded(mesh, num_steps, carry["n_local"], R_lo, R_up,
+                             carry.get("B", carry["n_local"]),
                              cfg.opponent, FT._phi(cfg.epsilon),
                              cfg.num_actions, cfg.num_goals,
                              float(cfg.gamma), float(cfg.lr),

@@ -56,10 +56,11 @@ def _race(n, seed):
     return pos, vel
 
 
-def _mk(cfg, ep, n, seed, race):
+def _mk(cfg, ep, n, seed, race, learn_batch=None):
     from merging_gym_tpu.core.geometry import lon2coord
 
-    carry = FH.fused_hdqn_init(jax.random.key(seed), cfg, ep, n)
+    carry = FH.fused_hdqn_init(jax.random.key(seed), cfg, ep, n,
+                               learn_batch=learn_batch)
     for k in ("u_p", "u_tp", "l_p", "l_tp"):
         carry[k] = _shrink6(carry[k])
     carry["opp_u"], carry["opp_l"] = carry["u_p"], carry["l_p"]
@@ -74,8 +75,9 @@ def _mk(cfg, ep, n, seed, race):
     return carry
 
 
-def _reference(cfg, ep, carry0, lo_rounds, up_rounds, race):
+def _reference(cfg, ep, carry0, lo_rounds, up_rounds, race, cols=None):
     n, R_lo, R_up = carry0["n"], carry0["R_lo"], carry0["R_up"]
+    B = carry0.get("B", n)
     u = [carry0[k] for k in ("u_p", "u_tp", "u_m", "u_v")]
     l = [carry0[k] for k in ("l_p", "l_tp", "l_m", "l_v")]
     lo_ring = np.zeros((R_lo * FH.LO_F, n), np.float32)
@@ -136,6 +138,8 @@ def _reference(cfg, ep, carry0, lo_rounds, up_rounds, race):
 
         if i >= R_lo - 1:
             s = lo_ring[lo_rounds[i] * FH.LO_F:(lo_rounds[i] + 1) * FH.LO_F]
+            if cols is not None:
+                s = s[:, cols[2 * i] * B:(cols[2 * i] + 1) * B]
             batch = {"obs": jnp.asarray(s[0:11]),
                      "next_obs": jnp.asarray(s[11:22]),
                      "action": jnp.asarray(s[22], jnp.int32),
@@ -161,6 +165,8 @@ def _reference(cfg, ep, carry0, lo_rounds, up_rounds, race):
 
         if i >= R_up - 1 and opt_end.any():
             s = up_ring[up_rounds[i] * FH.UP_F:(up_rounds[i] + 1) * FH.UP_F]
+            if cols is not None:
+                s = s[:, cols[2 * i + 1] * B:(cols[2 * i + 1] + 1) * B]
             batch = {"obs": jnp.asarray(s[0:10]),
                      "next_obs": jnp.asarray(s[10:20]),
                      "action": jnp.asarray(s[20], jnp.int32),
@@ -242,6 +248,42 @@ def test_fused_hdqn_e2e_vs_xla_reference():
     assert got["episodes"] == want["met"][0]
     assert got["collisions"] == want["met"][1]
     assert got["wins"] == want["met"][2]
+    np.testing.assert_allclose(got["last_loss"], want["last_loss"],
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_fused_hdqn_e2e_lane_window_batch():
+    """learn_batch < n: both learners consume uniformly chosen disjoint
+    lane windows (lower and upper independently), locked against the
+    same XLA reference."""
+    n, B, T = 256, 128, 20
+    cfg = HDQNConfig(lr=1e-3, gamma=0.9, target_sync=3,
+                     memory_capacity=2 * n, goal_memory_capacity=2 * n,
+                     opponent=FT.OPP_L0)
+    ep = EnvParams(max_steps=20)
+    rng = np.random.default_rng(77)
+    lo_rounds = rng.integers(0, 2, T).astype(np.int32)
+    up_rounds = rng.integers(0, 2, T).astype(np.int32)
+    cols = rng.integers(0, n // B, 2 * T).astype(np.int32)
+    assert cols.min() == 0 and cols.max() == 1, "both windows exercised"
+    race = _race(n, 900)
+
+    carry = _mk(cfg, ep, n, seed=6, race=race, learn_batch=B)
+    want = _reference(cfg, ep, carry, lo_rounds, up_rounds, race, cols=cols)
+    assert want["lc_up"] > 0, "upper learner must fire"
+
+    got = FH.fused_hdqn_chunk(cfg, ep, carry, T, seed=0, greedy=True,
+                              lo_rounds=lo_rounds, up_rounds=up_rounds,
+                              cols=cols)
+    for name, k in (("u", ("u_p", "u_m")), ("l", ("l_p", "l_m"))):
+        idx = {"u_p": 0, "u_m": 2, "l_p": 0, "l_m": 2}
+        for kk in k:
+            for a, b in zip(got[kk], want[name][idx[kk]]):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-3, atol=2e-4,
+                                           err_msg=kk)
+    assert got["lo_learns"] == want["lc_lo"]
+    assert int(np.asarray(got["state"])[15][0]) == want["lc_up"]
     np.testing.assert_allclose(got["last_loss"], want["last_loss"],
                                rtol=1e-3, atol=1e-6)
 
