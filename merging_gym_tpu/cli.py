@@ -189,8 +189,9 @@ def cmd_train(args):
         # TPU-only; see the module docstring for the sampling deviation.
         from merging_gym_tpu.ops import fused_trainer as FT
 
-        if env_params.random_start:
-            raise SystemExit("--fused-kernel requires deterministic starts")
+        if env_params.random_start and args.greedy_actor:
+            raise SystemExit("--random-start needs the on-chip PRNG, which "
+                             "--greedy-actor skips; drop one of the two")
         if args.compute_dtype != "float32":
             raise SystemExit("--fused-kernel runs float32 (master state "
                              "must stay f32 on-chip); drop --compute-dtype "
@@ -254,12 +255,13 @@ def cmd_train(args):
     if args.algo == "hdqn" and getattr(args, "fused_kernel", False):
         # Single-kernel hierarchical trainer (ops.fused_hdqn): both
         # learners + both rings + option machinery as ONE pallas_call
-        # per chunk.  Faithful-meta mode, deterministic starts.
+        # per chunk.  Faithful-meta mode.
         from merging_gym_tpu.agents import hdqn as H
         from merging_gym_tpu.ops import fused_hdqn as FH
 
-        if env_params.random_start:
-            raise SystemExit("--fused-kernel requires deterministic starts")
+        if env_params.random_start and args.greedy_actor:
+            raise SystemExit("--random-start needs the on-chip PRNG, which "
+                             "--greedy-actor skips; drop one of the two")
         mode = (D.OPP_L0 if args.opponent == "L0"
                 else D.OPP_SELFPLAY if args.opponent == "selfplay"
                 else D.OPP_FROZEN)
@@ -324,8 +326,9 @@ def cmd_train(args):
         from merging_gym_tpu.agents import rainbow as R
         from merging_gym_tpu.ops import fused_rainbow as FRB
 
-        if env_params.random_start:
-            raise SystemExit("--fused-kernel requires deterministic starts")
+        if env_params.random_start and args.greedy_actor:
+            raise SystemExit("--random-start needs the on-chip PRNG, which "
+                             "--greedy-actor skips; drop one of the two")
         if args.per or args.n_step != 1:
             raise SystemExit("rainbow --fused-kernel is the reference "
                              "configuration (uniform ring, 1-step); drop "

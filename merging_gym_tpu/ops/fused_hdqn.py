@@ -37,7 +37,9 @@ within ~10 steps of the gate opening).
 
 Faithful-meta mode only: the textbook (option-start-obs, end-obs) meta
 transition needs 10 more state rows; use agents.hdqn (XLA) for
-``faithful_meta=False``.  Deterministic starts only.
+``faithful_meta=False``.  Randomised starts supported via the shared
+in-kernel Box-Muller reset (ops.fused_rollout._random_reset_vals;
+non-greedy mode only).
 
 tests/test_fused_hdqn_e2e.py locks the whole loop in interpret mode
 against an XLA reference built from independently verified components.
@@ -57,10 +59,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from merging_gym_tpu.core import constants as C
 from merging_gym_tpu.core.geometry import lon2coord
-from merging_gym_tpu.ops.fused_rollout import _env_step_math
+from merging_gym_tpu.ops.fused_rollout import (_env_step_math,
+                                               _random_reset_vals)
 from merging_gym_tpu.ops.fused_trainer import (OPP_FROZEN, OPP_L0,
                                                OPP_SELFPLAY, _argmax0, _fwd,
-                                               _phi, learn_math, params_to_t)
+                                               _init_env_rows, _phi,
+                                               learn_math, params_to_t)
 
 # Lower ring fields: [goal;obs] 11 + [goal';next_obs] 11 + a/r/done = 25,
 # padded to 32 (dynamic row offsets must be multiples of 8 for Mosaic).
@@ -82,7 +86,7 @@ def _goal_status(obs10):
 def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, cols_ref,
             *refs,
             n, R_lo, R_up, B, opp, p_greedy, num_actions, num_goals, gamma,
-            lr, target_sync, mask_terminal, greedy):
+            lr, target_sync, mask_terminal, greedy, random_start):
     # inputs: u_p 6, u_tp 6, u_m 6, u_v 6, l_p 6, l_tp 6, l_m 6, l_v 6,
     #         opp_u 6, opp_l 6, state 1, lo_ring 1, up_ring 1   (63)
     # outputs: the 48 learner arrays + state + lo_ring + up_ring + met +
@@ -276,12 +280,17 @@ def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, cols_ref,
 
     # --- auto-reset + writeback ------------------------------------------------
     reset = done[None, :]
-    sp = jnp.full((n,), C.START_POINT, jnp.float32)
-    x1r, y1r = lon2coord(sp, +1.0)
-    x2r, y2r = lon2coord(sp, -1.0)
-    st_o[0:2] = jnp.where(reset, C.START_POINT, npos)
-    st_o[2:4] = jnp.where(reset, C.START_VEL, nvel)
-    st_o[4:8] = jnp.where(reset, jnp.stack([x1r, y1r, x2r, y2r]), coords)
+    if random_start:
+        pos_r, vel_r, xy_r = _random_reset_vals(n)
+    else:
+        pos_r, vel_r = C.START_POINT, C.START_VEL
+        sp = jnp.full((n,), C.START_POINT, jnp.float32)
+        x1r, y1r = lon2coord(sp, +1.0)
+        x2r, y2r = lon2coord(sp, -1.0)
+        xy_r = jnp.stack([x1r, y1r, x2r, y2r])
+    st_o[0:2] = jnp.where(reset, pos_r, npos)
+    st_o[2:4] = jnp.where(reset, vel_r, nvel)
+    st_o[4:8] = jnp.where(reset, xy_r, coords)
     st_o[8] = jnp.where(done, 0, nwin).astype(jnp.float32)
     st_o[9] = jnp.where(done, 0, ntcnt).astype(jnp.float32)
     st_o[10] = ep_rew
@@ -296,14 +305,16 @@ def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, cols_ref,
     jax.jit, static_argnames=("num_steps", "n", "R_lo", "R_up", "B", "opp",
                               "p_greedy", "num_actions", "num_goals", "gamma",
                               "lr", "target_sync", "mask_terminal", "greedy",
-                              "interpret"))
+                              "random_start", "interpret"))
 def _call(cfg, rewards_vec, lo_rounds, up_rounds, cols, arrays, num_steps, n,
           R_lo, R_up, B, opp, p_greedy, num_actions, num_goals, gamma, lr,
-          target_sync, mask_terminal, greedy, interpret=False):
+          target_sync, mask_terminal, greedy, random_start=False,
+          interpret=False):
     kernel = functools.partial(
         _kernel, n=n, R_lo=R_lo, R_up=R_up, B=B, opp=opp, p_greedy=p_greedy,
         num_actions=num_actions, num_goals=num_goals, gamma=gamma, lr=lr,
-        target_sync=target_sync, mask_terminal=mask_terminal, greedy=greedy)
+        target_sync=target_sync, mask_terminal=mask_terminal, greedy=greedy,
+        random_start=random_start)
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
@@ -377,13 +388,7 @@ def fused_hdqn_init(key, cfg, env_params, num_envs, opp_upper=None,
 
     n = num_envs
     st = np.zeros((ROWS, n), np.float32)
-    st[0:2] = C.START_POINT
-    st[2:4] = C.START_VEL
-    sp = jnp.full((n,), jnp.float32(C.START_POINT))
-    x1, y1 = lon2coord(sp, +1.0)
-    x2, y2 = lon2coord(sp, -1.0)
-    st[4:8] = np.stack([np.asarray(x1), np.asarray(y1),
-                        np.asarray(x2), np.asarray(y2)])
+    st[0:8] = _init_env_rows(env_params, jax.random.fold_in(key, 7), n)
     st[14] = 1.0   # every lane starts a fresh option
     return {
         "u_p": u_p, "u_tp": u_tp, "u_m": z(u_p), "u_v": z(u_p),
@@ -467,8 +472,9 @@ def fused_hdqn_chunk(cfg, env_params, carry, num_steps, seed, *,
                          f"in [0, {R_up}) (out-of-range values clamp to "
                          "the ring edge and silently train on the wrong "
                          "slab)")
-    if env_params.random_start:
-        raise ValueError("fused hdqn: deterministic starts only")
+    if env_params.random_start and greedy:
+        raise ValueError("random starts need the on-chip PRNG, which "
+                         "greedy mode skips; drop one of the two")
     # base ≡ steps mod R_lo AND mod R_up (product is a common multiple),
     # and equals the true prior step count while either warm flag is 0
     # (steps < R-1 < R_lo*R_up), so the in-kernel warm gates stay exact.
@@ -489,7 +495,7 @@ def fused_hdqn_chunk(cfg, env_params, carry, num_steps, seed, *,
                 num_steps, n, R_lo, R_up, B, cfg.opponent, _phi(cfg.epsilon),
                 cfg.num_actions, cfg.num_goals, float(cfg.gamma),
                 float(cfg.lr), int(cfg.target_sync), bool(cfg.mask_terminal),
-                bool(greedy),
+                bool(greedy), random_start=bool(env_params.random_start),
                 interpret=os.environ.get("MGT_FUSED_INTERPRET", "") == "1")
     groups = [tuple(out[k * 6:(k + 1) * 6]) for k in range(8)]
     met = np.asarray(out[51]).sum(axis=1)

@@ -43,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from merging_gym_tpu.core import constants as C
 from merging_gym_tpu.core.geometry import lon2coord
-from merging_gym_tpu.ops.fused_rollout import _env_step_math
+from merging_gym_tpu.ops.fused_rollout import (_env_step_math,
+                                               _random_reset_vals)
 
 ENV_BLOCK = 4096  # sweep-tuned (docs/BENCHMARKS.md); [200, n] activations in VMEM
 
@@ -97,25 +98,9 @@ def _kernel(cfg_ref, rewards_ref,
         bits = None
 
     if random_start:
-        # The commented-out randomised start mode (merging_env.py:219-221
-        # as realised in core.env.reset): pos1 ~ N(50, 5), vel1 ~ N(20, 3),
-        # pos2 ~ U(50 +- 4), vel2 ~ U(15, 30).  Normals via Box-Muller on
-        # 24-bit uniforms (Mosaic has no u32->f32 cast; 24-bit values fit
-        # int32, which does cast).
-        rs = pltpu.bitcast(pltpu.prng_random_bits((4, n)), jnp.uint32)
-        rs24 = pltpu.bitcast(rs >> 8, jnp.int32)  # 24-bit values, 2D bitcast
-        u = [rs24[j].astype(jnp.float32) * (1.0 / 16777216.0)
-             for j in range(4)]
-        r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[0], 1e-7)))
-        theta = (2.0 * 3.14159265358979) * u[1]
-        z1, z2 = r * jnp.cos(theta), r * jnp.sin(theta)
-        pos_r = jnp.stack([C.START_POINT + 5.0 * z1,
-                           C.START_POINT + (u[2] * C.VEHICLE_H - C.VEHICLE_H / 2)])
-        vel_r = jnp.stack([C.START_VEL + 3.0 * z2,
-                           (C.START_VEL - 5.0) + 15.0 * u[3]])
-        x1r, y1r = lon2coord(pos_r[0], +1.0)
-        x2r, y2r = lon2coord(pos_r[1], -1.0)
-        xy_r = jnp.stack([x1r, y1r, x2r, y2r])
+        # Randomised starts via the shared Box-Muller reset helper
+        # (ops.fused_rollout._random_reset_vals).
+        pos_r, vel_r, xy_r = _random_reset_vals(n)
     else:
         pos_r = jnp.full((2, n), C.START_POINT, jnp.float32)
         vel_r = jnp.full((2, n), C.START_VEL, jnp.float32)

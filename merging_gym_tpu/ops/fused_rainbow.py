@@ -73,10 +73,12 @@ from jax.experimental.pallas import tpu as pltpu
 from merging_gym_tpu.core import constants as C
 from merging_gym_tpu.core.geometry import lon2coord
 from merging_gym_tpu.nn.rainbow_net import NUM_ATOMS, V_MAX, V_MIN
-from merging_gym_tpu.ops.fused_rollout import _env_step_math
+from merging_gym_tpu.ops.fused_rollout import (_env_step_math,
+                                               _random_reset_vals)
 from merging_gym_tpu.ops.fused_trainer import (ADAM_B1, ADAM_B2, ADAM_EPS,
                                                NUM_F, OPP_FROZEN, OPP_L0,
                                                OPP_SELFPLAY, _argmax0, _fwd,
+                                               _init_env_rows,
                                                _interpret_flag, _mm, _mm_nt,
                                                _mm_tn, _phi, params_to_t,
                                                rewards_cfg)
@@ -378,7 +380,7 @@ def _fresh_eps():
 
 def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
             n, R, B, opp, roll, p_greedy, has_eps, gamma, lr, sync_eps,
-            obs_scale, faithful, greedy):
+            obs_scale, faithful, greedy, random_start):
     # inputs: p 8, tp 8, m 8, v 8, eps 2, teps 2, opp 6, env 1, ring 1 (44)
     # outputs: p 8, tp 8, m 8, v 8, eps 2, teps 2, env 1, ring 1, met 1,
     #          loss 1  (40)
@@ -554,12 +556,17 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
 
     # --- auto-reset + writeback --------------------------------------------------
     reset = done[None, :]
-    sp = jnp.full((n,), C.START_POINT, jnp.float32)
-    x1r, y1r = lon2coord(sp, +1.0)
-    x2r, y2r = lon2coord(sp, -1.0)
-    env_o[0:2] = jnp.where(reset, C.START_POINT, npos)
-    env_o[2:4] = jnp.where(reset, C.START_VEL, nvel)
-    env_o[4:8] = jnp.where(reset, jnp.stack([x1r, y1r, x2r, y2r]), coords)
+    if random_start:
+        pos_r, vel_r, xy_r = _random_reset_vals(n)
+    else:
+        pos_r, vel_r = C.START_POINT, C.START_VEL
+        sp = jnp.full((n,), C.START_POINT, jnp.float32)
+        x1r, y1r = lon2coord(sp, +1.0)
+        x2r, y2r = lon2coord(sp, -1.0)
+        xy_r = jnp.stack([x1r, y1r, x2r, y2r])
+    env_o[0:2] = jnp.where(reset, pos_r, npos)
+    env_o[2:4] = jnp.where(reset, vel_r, nvel)
+    env_o[4:8] = jnp.where(reset, xy_r, coords)
     env_o[8] = jnp.where(done, 0, nwin).astype(jnp.float32)
     env_o[9] = jnp.where(done, 0, ntcnt).astype(jnp.float32)
     env_o[10] = ep_rew
@@ -575,14 +582,15 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
     jax.jit, static_argnames=("num_steps", "n", "R", "B", "opp", "roll",
                               "p_greedy", "has_eps", "gamma", "lr",
                               "sync_eps", "obs_scale", "faithful", "greedy",
-                              "interpret"))
+                              "random_start", "interpret"))
 def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, opp,
           roll, p_greedy, has_eps, gamma, lr, sync_eps, obs_scale, faithful,
-          greedy, interpret=False):
+          greedy, random_start=False, interpret=False):
     kernel = functools.partial(
         _kernel, n=n, R=R, B=B, opp=opp, roll=roll, p_greedy=p_greedy,
         has_eps=has_eps, gamma=gamma, lr=lr, sync_eps=sync_eps,
-        obs_scale=obs_scale, faithful=faithful, greedy=greedy)
+        obs_scale=obs_scale, faithful=faithful, greedy=greedy,
+        random_start=random_start)
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
@@ -654,13 +662,7 @@ def fused_rainbow_init(key, cfg, env_params, num_envs, opp_params=None,
     # tiny in L0/selfplay mode.
     n = num_envs
     env = np.zeros((ENV_ROWS, n), np.float32)
-    env[0:2] = C.START_POINT
-    env[2:4] = C.START_VEL
-    sp = jnp.full((n,), jnp.float32(C.START_POINT))
-    x1, y1 = lon2coord(sp, +1.0)
-    x2, y2 = lon2coord(sp, -1.0)
-    env[4:8] = np.stack([np.asarray(x1), np.asarray(y1),
-                         np.asarray(x2), np.asarray(y2)])
+    env[0:8] = _init_env_rows(env_params, jax.random.fold_in(key, 7), n)
     return {
         "p": p, "tp": p, "m": z, "v": z,  # update_target at init (:648)
         "eps": rainbow_noise_to_packed(
@@ -747,8 +749,9 @@ def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
                          f"[0, {n // B}) (out-of-range values would clamp "
                          "to the buffer edge and silently train on the "
                          "wrong slab)")
-    if env_params.random_start:
-        raise ValueError("fused rainbow: deterministic starts only")
+    if env_params.random_start and greedy:
+        raise ValueError("random starts need the on-chip PRNG, which "
+                         "greedy mode skips; drop one of the two")
     cfgv = jnp.asarray([seed, env_params.max_steps, carry["warm"],
                         carry["learns"], carry["steps"] % R], jnp.int32)
     arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
@@ -762,6 +765,7 @@ def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
                 float(cfg.target_sync_episodes),
                 None if cfg.obs_scale is None else float(cfg.obs_scale),
                 bool(cfg.faithful_c51), bool(greedy),
+                random_start=bool(env_params.random_start),
                 interpret=_interpret_flag())
     met = np.asarray(out[38]).sum(axis=1)
     return apply_rainbow_chunk(carry, out[0:36], out[36], out[37],

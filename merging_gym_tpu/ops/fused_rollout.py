@@ -37,6 +37,32 @@ from merging_gym_tpu.core import constants as C
 from merging_gym_tpu.core.geometry import lon2coord, round_half_away
 
 
+
+def _random_reset_vals(n):
+    """Randomised-start reset values via the on-chip PRNG: the
+    commented-out mode of merging_env.py:219-221 as realised in
+    core.env.reset -- pos1 ~ N(50, 5), vel1 ~ N(20, 3), pos2 ~ U(50 +- 4),
+    vel2 ~ U(15, 30); normals via Box-Muller on 24-bit uniforms (Mosaic
+    has no u32->f32 cast; 24-bit values fit int32, which does cast).
+    Caller must have seeded the PRNG this grid step.  Shared by the
+    policy-rollout and all three fused trainer kernels.
+    """
+    rs = pltpu.bitcast(pltpu.prng_random_bits((4, n)), jnp.uint32)
+    rs24 = pltpu.bitcast(rs >> 8, jnp.int32)
+    u = [rs24[j].astype(jnp.float32) * (1.0 / 16777216.0) for j in range(4)]
+    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[0], 1e-7)))
+    theta = (2.0 * 3.14159265358979) * u[1]
+    z1, z2 = r * jnp.cos(theta), r * jnp.sin(theta)
+    pos_r = jnp.stack([C.START_POINT + 5.0 * z1,
+                       C.START_POINT + (u[2] * C.VEHICLE_H
+                                        - C.VEHICLE_H / 2)])
+    vel_r = jnp.stack([C.START_VEL + 3.0 * z2,
+                       (C.START_VEL - 5.0) + 15.0 * u[3]])
+    x1r, y1r = lon2coord(pos_r[0], +1.0)
+    x2r, y2r = lon2coord(pos_r[1], -1.0)
+    return pos_r, vel_r, jnp.stack([x1r, y1r, x2r, y2r])
+
+
 def _env_step_math(pos, vel, winner, tcnt, done_prev, actions, rewards_cfg,
                    max_steps):
     """One env step on [2, N]-shaped state; mirrors core.env.step."""

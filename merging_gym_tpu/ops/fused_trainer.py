@@ -68,7 +68,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from merging_gym_tpu.core import constants as C
 from merging_gym_tpu.core.geometry import lon2coord
-from merging_gym_tpu.ops.fused_rollout import _env_step_math
+from merging_gym_tpu.ops.fused_rollout import (_env_step_math,
+                                               _random_reset_vals)
 
 OPP_L0 = "L0"
 OPP_SELFPLAY = "selfplay"
@@ -207,7 +208,7 @@ def t_to_params(pt):
 
 def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
             n, R, B, K, opp, p_greedy, num_actions, gamma, lr, target_sync,
-            mask_terminal, greedy):
+            mask_terminal, greedy, random_start):
     # inputs: p 6, tp 6, m 6, v 6, opp 6, env 1, ring 1  (32 refs)
     # outputs: p 6, tp 6, m 6, v 6, env 1, ring 1, met 1, loss 1 (28 refs)
     ins, outs = refs[:32], refs[32:]
@@ -359,12 +360,17 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
 
     # --- auto-reset + state writeback -----------------------------------------
     reset = done[None, :]
-    sp = jnp.full((n,), C.START_POINT, jnp.float32)
-    x1r, y1r = lon2coord(sp, +1.0)
-    x2r, y2r = lon2coord(sp, -1.0)
-    env_o[0:2] = jnp.where(reset, C.START_POINT, npos)
-    env_o[2:4] = jnp.where(reset, C.START_VEL, nvel)
-    env_o[4:8] = jnp.where(reset, jnp.stack([x1r, y1r, x2r, y2r]), coords)
+    if random_start:
+        pos_r, vel_r, xy_r = _random_reset_vals(n)
+    else:
+        pos_r, vel_r = C.START_POINT, C.START_VEL
+        sp = jnp.full((n,), C.START_POINT, jnp.float32)
+        x1r, y1r = lon2coord(sp, +1.0)
+        x2r, y2r = lon2coord(sp, -1.0)
+        xy_r = jnp.stack([x1r, y1r, x2r, y2r])
+    env_o[0:2] = jnp.where(reset, pos_r, npos)
+    env_o[2:4] = jnp.where(reset, vel_r, nvel)
+    env_o[4:8] = jnp.where(reset, xy_r, coords)
     env_o[8] = jnp.where(done, 0, nwin).astype(jnp.float32)
     env_o[9] = jnp.where(done, 0, ntcnt).astype(jnp.float32)
     env_o[10] = ep_rew
@@ -378,14 +384,15 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
     jax.jit, static_argnames=("num_steps", "n", "R", "B", "K", "opp",
                               "p_greedy", "num_actions", "gamma", "lr",
                               "target_sync", "mask_terminal", "greedy",
-                              "interpret"))
+                              "random_start", "interpret"))
 def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, K, opp,
           p_greedy, num_actions, gamma, lr, target_sync, mask_terminal,
-          greedy, interpret=False):
+          greedy, random_start=False, interpret=False):
     kernel = functools.partial(
         _kernel, n=n, R=R, B=B, K=K, opp=opp, p_greedy=p_greedy,
         num_actions=num_actions, gamma=gamma, lr=lr,
-        target_sync=target_sync, mask_terminal=mask_terminal, greedy=greedy)
+        target_sync=target_sync, mask_terminal=mask_terminal, greedy=greedy,
+        random_start=random_start)
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
@@ -473,13 +480,7 @@ def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None,
 
     n = num_envs
     env = np.zeros((ENV_ROWS, n), np.float32)
-    env[0:2] = C.START_POINT
-    env[2:4] = C.START_VEL
-    sp = jnp.full((n,), jnp.float32(C.START_POINT))
-    x1, y1 = lon2coord(sp, +1.0)
-    x2, y2 = lon2coord(sp, -1.0)
-    env[4:8] = np.stack([np.asarray(x1), np.asarray(y1),
-                         np.asarray(x2), np.asarray(y2)])
+    env[0:8] = _init_env_rows(env_params, jax.random.fold_in(key, 7), n)
     return {
         "p": p, "tp": tp, "m": zeros6, "v": zeros6, "opp": opp,
         "env": jnp.asarray(env), "ring": jnp.zeros((R * NUM_F, n), jnp.float32),
@@ -488,6 +489,25 @@ def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None,
         "episodes": 0.0, "collisions": 0.0, "wins": 0.0, "sum_ep_reward": 0.0,
         "last_loss": 0.0,
     }
+
+
+def _init_env_rows(env_params, key, n):
+    """Initial pos/vel/xy rows [8, n]: the deterministic start, or a
+    core.env.reset draw when ``env_params.random_start`` (the in-kernel
+    auto-reset then continues with _random_reset_vals draws)."""
+    if env_params.random_start:
+        from merging_gym_tpu.core.vector import reset_batch
+        st = reset_batch(env_params, key, n, jnp.float32)
+        pos = np.asarray(st.pos).T.astype(np.float32)
+        vel = np.asarray(st.vel).T.astype(np.float32)
+    else:
+        pos = np.full((2, n), C.START_POINT, np.float32)
+        vel = np.full((2, n), C.START_VEL, np.float32)
+    x1, y1 = lon2coord(jnp.asarray(pos[0]), +1.0)
+    x2, y2 = lon2coord(jnp.asarray(pos[1]), -1.0)
+    return np.concatenate([pos, vel,
+                           np.stack([np.asarray(x1), np.asarray(y1),
+                                     np.asarray(x2), np.asarray(y2)])])
 
 
 def coerce_carry(carry):
@@ -611,13 +631,16 @@ def fused_dqn_chunk(cfg, env_params, carry, num_steps, seed, *,
     arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
               + list(carry["v"]) + list(carry["opp"])
               + [carry["env"], carry["ring"]])
-    if env_params.random_start:
-        raise ValueError("fused trainer: deterministic starts only")
+    if env_params.random_start and greedy:
+        raise ValueError("random starts need the on-chip PRNG, which "
+                         "greedy mode skips (greedy is the deterministic "
+                         "e2e mode); drop one of the two")
     out = _call(launch_cfg(carry, env_params, seed), rewards_cfg(env_params),
                 rounds, cols, tuple(arrays), num_steps,
                 n, R, B, K, cfg.opponent, _phi(cfg.epsilon), cfg.num_actions,
                 float(cfg.gamma), float(cfg.lr), int(cfg.target_sync),
                 bool(cfg.mask_terminal), bool(greedy),
+                random_start=bool(env_params.random_start),
                 interpret=_interpret_flag())
     met = np.asarray(out[26]).sum(axis=1)
     return apply_chunk(carry, out, num_steps, met,

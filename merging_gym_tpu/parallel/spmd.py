@@ -500,16 +500,17 @@ def spmd_hdqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
 # lanes stay device-local and are summed on the host like the single-chip
 # path.
 
-def _check_fused_launch(num_steps, env_params):
+def _check_fused_launch(num_steps, env_params, greedy):
     """Host-API guards shared by the SPMD fused chunk wrappers (the same
     contract the single-chip fused_*_chunk functions enforce): a
     zero-iteration grid would skip the kernels' i==0 state copy and
-    return uninitialized outputs; random starts are unsupported (the
-    kernels hardcode deterministic resets)."""
+    return uninitialized outputs; random starts need the on-chip PRNG,
+    which greedy (deterministic e2e) mode skips."""
     if num_steps < 1:
         raise ValueError(f"num_steps must be >= 1, got {num_steps}")
-    if env_params.random_start:
-        raise ValueError("fused kernels: deterministic starts only")
+    if env_params.random_start and greedy:
+        raise ValueError("random starts need the on-chip PRNG, which "
+                         "greedy mode skips; drop one of the two")
 
 
 def _global_put(x, sharding):
@@ -579,7 +580,7 @@ def _fused_dqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
                        B: int, K: int, opp: int, p_greedy: float,
                        num_actions: int, gamma: float, lr: float,
                        target_sync: int, mask_terminal: bool, greedy: bool,
-                       interpret: bool):
+                       random_start: bool, interpret: bool):
     """Build (and cache) the jitted shard_map for one fused-DQN config.
 
     All per-chunk values -- the chunk seed and the warm/learns/ring-base
@@ -613,7 +614,8 @@ def _fused_dqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
         out = FT._call(cfgv, rewards, rounds, cols, arrays, num_steps,
                        n_local, R, B, K, opp, p_greedy,
                        num_actions, gamma, lr, target_sync, mask_terminal,
-                       greedy, interpret=interpret)
+                       greedy, random_start=random_start,
+                       interpret=interpret)
         po, tpo, mo, vo = out[0:6], out[6:12], out[12:18], out[18:24]
         env_o, ring_o, met_o, loss_o = out[24], out[25], out[26], out[27]
         # Chunk-boundary local-SGD averaging over ICI; metric sums are
@@ -641,13 +643,14 @@ def spmd_fused_dqn_chunk(mesh: Mesh, cfg: D.DQNConfig, env_params: EnvParams,
     """One fused-kernel launch per device + chunk-boundary averaging."""
     from merging_gym_tpu.ops import fused_trainer as FT
 
-    _check_fused_launch(num_steps, env_params)
+    _check_fused_launch(num_steps, env_params, greedy)
     R, B, K = carry["R"], carry["B"], carry.get("K", 1)
     fn = _fused_dqn_sharded(mesh, num_steps, carry["n_local"], R, B, K,
                             cfg.opponent, FT._phi(cfg.epsilon),
                             cfg.num_actions, float(cfg.gamma), float(cfg.lr),
                             int(cfg.target_sync), bool(cfg.mask_terminal),
-                            bool(greedy), FT._interpret_flag())
+                            bool(greedy), bool(env_params.random_start),
+                            FT._interpret_flag())
     scal = jnp.asarray([seed, env_params.max_steps, carry["warm"],
                         carry["learns"], carry.get("steps", 0) % R],
                        jnp.int32)
@@ -702,7 +705,7 @@ def _fused_hdqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R_lo: int,
                         R_up: int, B: int, opp: int, p_greedy: float,
                         num_actions: int, num_goals: int, gamma: float,
                         lr: float, target_sync: int, mask_terminal: bool,
-                        greedy: bool, interpret: bool):
+                        greedy: bool, random_start: bool, interpret: bool):
     """Jitted shard_map for one fused-HDQN config (cf. _fused_dqn_sharded):
     per-chunk seed and warm/learn/base counters are traced (``scal``), so
     repeated chunk launches reuse one Mosaic compilation."""
@@ -731,7 +734,8 @@ def _fused_hdqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R_lo: int,
                        arrays, num_steps, n_local, R_lo, R_up, B, opp,
                        p_greedy, num_actions, num_goals,
                        gamma, lr, target_sync,
-                       mask_terminal, greedy, interpret=interpret)
+                       mask_terminal, greedy, random_start=random_start,
+                       interpret=interpret)
         avg = lambda t: tuple(jax.lax.pmean(a, "data") for a in t)
         groups = tuple(avg(tuple(out[k * 6:(k + 1) * 6])) for k in range(8))
         loss = jax.lax.pmean(out[52][0, 0], "data")
@@ -755,7 +759,7 @@ def spmd_fused_hdqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
     of both learners' params/moments over ICI."""
     from merging_gym_tpu.ops import fused_trainer as FT
 
-    _check_fused_launch(num_steps, env_params)
+    _check_fused_launch(num_steps, env_params, greedy)
     R_lo, R_up = carry["R_lo"], carry["R_up"]
     fn = _fused_hdqn_sharded(mesh, num_steps, carry["n_local"], R_lo, R_up,
                              carry.get("B", carry["n_local"]),
@@ -763,7 +767,8 @@ def spmd_fused_hdqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
                              cfg.num_actions, cfg.num_goals,
                              float(cfg.gamma), float(cfg.lr),
                              int(cfg.target_sync), bool(cfg.mask_terminal),
-                             bool(greedy), FT._interpret_flag())
+                             bool(greedy), bool(env_params.random_start),
+                             FT._interpret_flag())
     scal = jnp.asarray([seed, env_params.max_steps, carry["warm_lo"],
                         carry["lo_learns"], carry["steps"] % (R_lo * R_up),
                         carry["warm_up"]], jnp.int32)
@@ -830,7 +835,8 @@ def _fused_rainbow_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
                            B: int, opp: int, roll: int, p_greedy: float,
                            has_eps: bool, gamma: float, lr: float,
                            sync_eps: float, obs_scale, faithful: bool,
-                           greedy: bool, interpret: bool):
+                           greedy: bool, random_start: bool,
+                           interpret: bool):
     """Jitted shard_map for one fused-Rainbow config (cf.
     _fused_dqn_sharded): per-chunk seed and counters are traced so chunk
     launches reuse one Mosaic compilation.  The episodic target sync is
@@ -858,7 +864,7 @@ def _fused_rainbow_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
         out = FRB._call(cfgv, rewards, rounds, cols, arrays, num_steps,
                         n_local, R, B, opp, roll, p_greedy, has_eps, gamma,
                         lr, sync_eps, obs_scale, faithful, greedy,
-                        interpret=interpret)
+                        random_start=random_start, interpret=interpret)
         po, tpo, mo, vo = out[0:8], out[8:16], out[16:24], out[24:32]
         eps_o, teps_o = out[32:34], out[34:36]
         env_o, ring_o, met_o, loss_o = out[36], out[37], out[38], out[39]
@@ -887,7 +893,7 @@ def spmd_fused_rainbow_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
     from merging_gym_tpu.ops import fused_rainbow as FRB
     from merging_gym_tpu.ops import fused_trainer as FT
 
-    _check_fused_launch(num_steps, env_params)
+    _check_fused_launch(num_steps, env_params, greedy)
     ndev = mesh.shape["data"]
     R = carry["R"]
     B = carry.get("B", carry["n_local"])
@@ -898,7 +904,8 @@ def spmd_fused_rainbow_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
         has_eps, float(cfg.gamma), float(cfg.lr),
         float(cfg.target_sync_episodes),
         None if cfg.obs_scale is None else float(cfg.obs_scale),
-        bool(cfg.faithful_c51), bool(greedy), FT._interpret_flag())
+        bool(cfg.faithful_c51), bool(greedy),
+        bool(env_params.random_start), FT._interpret_flag())
     # Per-device round draws within the (shared) filled prefix; devices
     # write their rings in lockstep so the fill schedule is global.
     fill = FRB.fill_schedule(carry, num_steps)
