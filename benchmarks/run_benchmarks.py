@@ -160,7 +160,7 @@ def bench_dqn_fused(num_envs, steps, chunks, learn_batch=None):
             "env-steps/s", learns_per_sec=round(steps * chunks / dt, 1))
 
 
-def bench_hdqn_fused(num_envs, steps, chunks):
+def bench_hdqn_fused(num_envs, steps, chunks, learn_batch=None):
     """Single-kernel hierarchical trainer (ops.fused_hdqn)."""
     from merging_gym_tpu.agents import dqn as D
     from merging_gym_tpu.agents.hdqn import HDQNConfig
@@ -171,7 +171,8 @@ def bench_hdqn_fused(num_envs, steps, chunks):
                      goal_memory_capacity=2 * num_envs,
                      opponent=D.OPP_SELFPLAY)
     env_params = EnvParams()
-    carry = FH.fused_hdqn_init(jax.random.key(0), cfg, env_params, num_envs)
+    carry = FH.fused_hdqn_init(jax.random.key(0), cfg, env_params, num_envs,
+                               learn_batch=learn_batch)
     carry = FH.fused_hdqn_chunk(cfg, env_params, carry, steps, seed=0)
     float(jnp.sum(carry["l_p"][0]))
     t0 = time.perf_counter()
@@ -180,11 +181,12 @@ def bench_hdqn_fused(num_envs, steps, chunks):
                                     seed=(1 + k) * steps)
         float(jnp.sum(carry["l_p"][0])); float(jnp.sum(carry["state"]))
     dt = time.perf_counter() - t0
-    _report(f"hdqn-train-fused-{num_envs}", num_envs * steps * chunks / dt,
-            "env-steps/s")
+    tag = f"-b{learn_batch}" if learn_batch else ""
+    _report(f"hdqn-train-fused-{num_envs}{tag}",
+            num_envs * steps * chunks / dt, "env-steps/s")
 
 
-def bench_rainbow_fused(num_envs, steps, chunks):
+def bench_rainbow_fused(num_envs, steps, chunks, learn_batch=None):
     """Single-kernel Rainbow trainer (ops.fused_rainbow)."""
     from merging_gym_tpu.agents import dqn as D
     from merging_gym_tpu.agents.rainbow import RainbowConfig
@@ -195,7 +197,7 @@ def bench_rainbow_fused(num_envs, steps, chunks):
                         opponent=D.OPP_SELFPLAY)
     env_params = EnvParams()
     carry = FRB.fused_rainbow_init(jax.random.key(0), cfg, env_params,
-                                   num_envs)
+                                   num_envs, learn_batch=learn_batch)
     carry = FRB.fused_rainbow_chunk(cfg, env_params, carry, steps, seed=0)
     float(jnp.sum(carry["p"][0]))
     t0 = time.perf_counter()
@@ -204,8 +206,9 @@ def bench_rainbow_fused(num_envs, steps, chunks):
                                         seed=(1 + k) * steps)
         float(jnp.sum(carry["p"][0])); float(jnp.sum(carry["env"]))
     dt = time.perf_counter() - t0
-    _report(f"rainbow-train-fused-{num_envs}", num_envs * steps * chunks / dt,
-            "env-steps/s")
+    tag = f"-b{learn_batch}" if learn_batch else ""
+    _report(f"rainbow-train-fused-{num_envs}{tag}",
+            num_envs * steps * chunks / dt, "env-steps/s")
 
 
 def bench_hdqn(num_envs, steps, chunks):
@@ -320,6 +323,9 @@ def main():
     if jax.default_backend() == "tpu":  # in-kernel PRNG needs real hardware
         bench_hdqn_fused(1024, 512 if q else 2000, 2 if q else 5)
         bench_rainbow_fused(1024, 512 if q else 2000, 2 if q else 5)
+        if not q:
+            bench_hdqn_fused(4096, 8192, 3, learn_batch=128)
+            bench_rainbow_fused(4096, 8192, 3, learn_batch=128)
     bench_native_serial(20000 if q else 200000)
     bench_oracle_serial(5000 if q else 20000)
 
