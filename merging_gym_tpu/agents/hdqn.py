@@ -257,9 +257,12 @@ def hdqn_step(cfg: HDQNConfig, env_params: EnvParams, carry: HDQNCarry, _):
     ep_reward = carry.ep_reward + ts.rewards[:, 0]
     m = carry.metrics
     done_i = ts.done.astype(m.episodes.dtype)
-    # hdqn.py:342 evaluates the pre-final-step obs (loop updates state
-    # before the win check only after breaking).
-    won = ts.done & (obs[:, 8] > obs[:, 3])
+    # hdqn.py:342 evaluates the POST-final-step obs: `state = next_state`
+    # (hdqn.py:320) runs BEFORE the break (hdqn.py:322), unlike main.py
+    # where the break precedes the assignment -- the two trainers'
+    # win tests genuinely differ (docs/PARITY.md faithful quirks).
+    # ts.obs is the pre-reset transition obs, i.e. the final state.
+    won = ts.done & (ts.obs[:, 8] > ts.obs[:, 3])
     inc = D.Metrics(
         env_steps=jnp.asarray(ts.done.shape[0], m.env_steps.dtype),
         episodes=jnp.sum(done_i),

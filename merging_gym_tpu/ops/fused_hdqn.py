@@ -104,7 +104,9 @@ def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, cols_ref,
     i = pl.program_id(0)
     warm_lo = cfg_ref[2]
     prior_lo = cfg_ref[3]
-    base = cfg_ref[4]          # global steps so far, mod max(R_lo, R_up)*lcm?
+    base = cfg_ref[4]          # global steps % (R_lo * R_up): exact mod
+                               # BOTH ring sizes, and == true prior steps
+                               # while either warm flag is 0
     warm_up = cfg_ref[5]
 
     @pl.when(i == 0)
@@ -143,7 +145,10 @@ def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, cols_ref,
     goal_op = st[12].astype(jnp.int32)
     extr = st[13]
     opt_start = st[14] > 0.5
-    up_lc = st[15]             # replicated f32 scalar row
+    # Upper learn counter: i32 BITS stored in the f32 state row (plain
+    # f32 counting would saturate at 2^24 ~ 16.7M learns, freezing the
+    # target-sync cadence and Adam bias correction on long runs).
+    up_lc_i = lax.bitcast_convert_type(st[15], jnp.int32)
 
     obs = jnp.stack([
         x2 - x1, y2 - y1, vel[1] - vel[0], C.END_POINT - pos[0], vel[0],
@@ -245,7 +250,7 @@ def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, cols_ref,
     # --- upper learner (gate: ring full AND any option ended) -----------------
     any_end = jnp.max(opt_end.astype(jnp.float32)) > 0.5
     can_up = ((warm_up == 1) | (base + i >= R_up - 1)) & any_end
-    lc_up = up_lc[0].astype(jnp.int32)   # data-dependent; carried in a row
+    lc_up = up_lc_i[0]                   # data-dependent; carried in a row
 
     @pl.when(can_up)
     def _():
@@ -268,11 +273,14 @@ def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, cols_ref,
                             new_p + tp6 + new_m + new_v):
             dst[:] = val
 
-    up_lc = jnp.where(can_up, up_lc + 1.0, up_lc)
+    up_lc_i = jnp.where(can_up, up_lc_i + 1, up_lc_i)
 
     # --- metrics (unconditional accumulation, hdqn.py:312) --------------------
+    # Win test on the POST-step obs: hdqn.py:342 reads `state` AFTER the
+    # `state = next_state` at :320 (unlike main.py, where the break
+    # precedes the assignment -- see agents/hdqn.py and docs/PARITY.md).
     ep_rew = ep_rew + rewards[0]
-    won = done & (obs[8] > obs[3])
+    won = done & (next_obs[8] > next_obs[3])
     met_o[:] = met_o[:] + jnp.stack([
         done.astype(jnp.float32), col.astype(jnp.float32),
         won.astype(jnp.float32), jnp.where(done, ep_rew, 0.0)])
@@ -298,7 +306,7 @@ def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, cols_ref,
     st_o[12] = goal_op.astype(jnp.float32)
     st_o[13] = jnp.where(opt_end, 0.0, extr)
     st_o[14] = opt_end.astype(jnp.float32)
-    st_o[15] = up_lc
+    st_o[15] = lax.bitcast_convert_type(up_lc_i, jnp.float32)
 
 
 @functools.partial(
@@ -404,6 +412,24 @@ def fused_hdqn_init(key, cfg, env_params, num_envs, opp_upper=None,
     }
 
 
+def hdqn_launch_cfg(carry, env_params, seed):
+    """The kernel's SMEM cfg vector [seed, max_steps, warm_lo, lo_learns,
+    base, warm_up] -- ``seed`` may be traced (the SPMD wrapper folds in
+    the device index).  ONE definition shared by the single-chip and
+    distributed launch paths (cf. ops.fused_trainer.launch_cfg); base is
+    steps % (R_lo*R_up), a common multiple of both ring sizes that still
+    equals the true prior step count while either warm flag is 0.
+    """
+    return jnp.stack([
+        jnp.asarray(seed, jnp.int32),
+        jnp.int32(env_params.max_steps),
+        jnp.int32(carry["warm_lo"]),
+        jnp.int32(carry["lo_learns"]),
+        jnp.int32(carry["steps"] % (carry["R_lo"] * carry["R_up"])),
+        jnp.int32(carry["warm_up"]),
+    ])
+
+
 def apply_hdqn_chunk(carry, groups, state, lo_ring, up_ring, num_steps,
                      met_sum, loss):
     """Fold a launch's outputs back into the host-side carry dict (cf.
@@ -475,16 +501,9 @@ def fused_hdqn_chunk(cfg, env_params, carry, num_steps, seed, *,
     if env_params.random_start and greedy:
         raise ValueError("random starts need the on-chip PRNG, which "
                          "greedy mode skips; drop one of the two")
-    # base ≡ steps mod R_lo AND mod R_up (product is a common multiple),
-    # and equals the true prior step count while either warm flag is 0
-    # (steps < R-1 < R_lo*R_up), so the in-kernel warm gates stay exact.
-    cfgv = jnp.asarray([seed, env_params.max_steps, carry["warm_lo"],
-                        carry["lo_learns"],
-                        carry["steps"] % (R_lo * R_up),
-                        carry["warm_up"]], jnp.int32)
-    rewards_vec = jnp.asarray([
-        env_params.r_first, env_params.r_second, env_params.r_collision,
-        env_params.vel_penalty, env_params.time_penalty], jnp.float32)
+    cfgv = hdqn_launch_cfg(carry, env_params, seed)
+    from merging_gym_tpu.ops.fused_trainer import rewards_cfg
+    rewards_vec = rewards_cfg(env_params)
     arrays = (list(carry["u_p"]) + list(carry["u_tp"]) + list(carry["u_m"])
               + list(carry["u_v"]) + list(carry["l_p"]) + list(carry["l_tp"])
               + list(carry["l_m"]) + list(carry["l_v"])

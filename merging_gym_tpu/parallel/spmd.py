@@ -769,9 +769,8 @@ def spmd_fused_hdqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
                              int(cfg.target_sync), bool(cfg.mask_terminal),
                              bool(greedy), bool(env_params.random_start),
                              FT._interpret_flag())
-    scal = jnp.asarray([seed, env_params.max_steps, carry["warm_lo"],
-                        carry["lo_learns"], carry["steps"] % (R_lo * R_up),
-                        carry["warm_up"]], jnp.int32)
+    from merging_gym_tpu.ops.fused_hdqn import hdqn_launch_cfg
+    scal = hdqn_launch_cfg(carry, env_params, seed)
     u6x4 = tuple(carry[k] for k in ("u_p", "u_tp", "u_m", "u_v"))
     l6x4 = tuple(carry[k] for k in ("l_p", "l_tp", "l_m", "l_v"))
     out = fn(scal, FT.rewards_cfg(env_params), u6x4, l6x4, carry["opp_u"],

@@ -179,7 +179,8 @@ def _reference(cfg, ep, carry0, lo_rounds, up_rounds, race, cols=None):
 
         done = np.asarray(ts.done)
         ep_rew = ep_rew + np.asarray(ts.rewards[:, 0])
-        won = done & (np.asarray(obs)[:, 8] > np.asarray(obs)[:, 3])
+        # Post-step obs: hdqn.py:342 reads state AFTER `state = next_state`.
+        won = done & (np.asarray(ts.obs)[:, 8] > np.asarray(ts.obs)[:, 3])
         met += [done.sum(), np.asarray(ts.collision).sum(), won.sum(),
                 ep_rew[done].sum()]
         ep_rew = np.where(done, 0.0, ep_rew).astype(np.float32)
@@ -231,7 +232,8 @@ def test_fused_hdqn_e2e_vs_xla_reference():
     np.testing.assert_array_equal(st[14] > 0.5, want["opt_start"])
     np.testing.assert_allclose(st[13], want["extr"], atol=1e-4)
     np.testing.assert_allclose(st[10], want["ep_rew"], atol=1e-4)
-    assert int(st[15][0]) == want["lc_up"]
+    # st[15] carries i32 BITS in the f32 row (saturation-safe counter).
+    assert int(np.asarray(st[15][0:1]).view(np.int32)[0]) == want["lc_up"]
 
     np.testing.assert_allclose(np.asarray(got["lo_ring"]), want["lo_ring"],
                                rtol=1e-4, atol=1e-4)
@@ -283,7 +285,8 @@ def test_fused_hdqn_e2e_lane_window_batch():
                                            rtol=2e-3, atol=2e-4,
                                            err_msg=kk)
     assert got["lo_learns"] == want["lc_lo"]
-    assert int(np.asarray(got["state"])[15][0]) == want["lc_up"]
+    assert int(np.asarray(got["state"])[15][0:1].view(np.int32)[0]) == \
+        want["lc_up"]
     np.testing.assert_allclose(got["last_loss"], want["last_loss"],
                                rtol=1e-3, atol=1e-6)
 
