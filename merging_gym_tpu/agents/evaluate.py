@@ -20,13 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from merging_gym_tpu.agents.policies import (EPSILON, Policy,
-                                             eps_greedy_from_q, two_player)
-from merging_gym_tpu.core import constants as C
-from merging_gym_tpu.core import env as core_env
-from merging_gym_tpu.core.env import EnvParams, swap_obs
-from merging_gym_tpu.core.vector import (autoreset_step, observe_after_reset,
-                                         reset_batch, rollout)
+from merging_gym_tpu.agents.policies import Policy, two_player
+from merging_gym_tpu.core.env import EnvParams
+from merging_gym_tpu.core.vector import reset_batch, rollout
 
 
 def evaluate(policy1: Policy, policy2: Policy, env_params: EnvParams,

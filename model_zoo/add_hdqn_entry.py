@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--vs", default=None,
                     help="extra opponent params.npz (a ladder rung)")
     ap.add_argument("--note", default="")
+    ap.add_argument("--hidden", type=int, nargs="+", default=[200, 100],
+                    help="hidden sizes the run was trained with")
     ap.add_argument("--num-envs", type=int, default=128)
     ap.add_argument("--episodes", type=int, default=256)
     ap.add_argument("--cpu", action="store_true",
@@ -39,6 +41,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from merging_gym_tpu.agents.evaluate import evaluate
+    from merging_gym_tpu.agents.hdqn import HDQNConfig
     from merging_gym_tpu.agents.policies import (hdqn_policy, l0_policy,
                                                  q_policy, random_policy)
     from merging_gym_tpu.core.env import EnvParams
@@ -50,8 +53,14 @@ def main():
     shutil.copy(os.path.join(args.run, "params.npz"),
                 os.path.join(dst, "params.npz"))
 
-    like = {"lower": qnet_init(jax.random.key(0), 11, 5),
-            "upper": qnet_init(jax.random.key(0), 10, 3)}
+    # Templates derive from HDQNConfig (the same recipe as
+    # cli._load_frozen_hdqn) so runs trained with non-default hidden
+    # sizes / goal counts load correctly instead of failing downstream.
+    cfg = HDQNConfig(hidden=tuple(args.hidden))
+    like = {"lower": qnet_init(jax.random.key(0), cfg.obs_dim + 1,
+                               cfg.num_actions, cfg.hidden),
+            "upper": qnet_init(jax.random.key(0), cfg.obs_dim,
+                               cfg.num_goals, cfg.hidden)}
     nets = load_params_npz(os.path.join(dst, "params.npz"), like)
     me = hdqn_policy(nets["upper"], nets["lower"])
 
@@ -77,6 +86,7 @@ def main():
            "eval": results}
     with open(os.path.join(dst, "meta.json"), "w") as f:
         json.dump(doc, f, indent=1)
+        f.write("\n")
     try:
         from merging_gym_tpu.io.analysis import plot_training_curves
         plot_training_curves(args.run)
