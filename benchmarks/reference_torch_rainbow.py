@@ -1,0 +1,370 @@
+"""Run the REFERENCE's own torch Rainbow learner against the float64
+oracle env.
+
+Third member of the torch-parity family (cf.
+benchmarks/reference_torch_dqn.py, reference_torch_hdqn.py): executes
+the reference's ACTUAL Rainbow -- the ``NoisyLinear``/``RainbowDQN``/
+C51 semantics of scripts/ranbowdqn.py:440-620 and the self-play loop of
+ranbowdqn.py:623-700, reproduced operation-for-operation -- against
+``merging_gym_tpu.core.oracle.OracleMergeEnv`` and records
+reward / collision / win / loss bands for numeric comparison with the
+repo's faithful Rainbow configuration at MATCHED episode count
+(docs/parity/reference_torch_rainbow.json).
+
+Faithfully reproduced semantics (each cited):
+* NoisyLinear: mu ~ U(-1/sqrt(in), 1/sqrt(in)), sigma = 0.4/sqrt(in)
+  (bias sigma 0.4/sqrt(out)), factorized sign*sqrt noise
+  outer(eps_out, eps_in), fresh noise at construction
+  (ranbowdqn.py:440-496).
+* RainbowDQN 10->32->64 trunk, dueling noisy value (64->64->51) and
+  advantage (64->64->5*51) streams, C51 softmax, Vmin=-10, Vmax=10
+  (ranbowdqn.py:498-535); ``act`` = argmax of sum(dist * support)
+  with the CURRENT noise, training-mode weights, no epsilon
+  (ranbowdqn.py:543-548).
+* SELF-PLAY with the slice bug: the opponent acts on
+  ``state[3:] + state[:3]`` -- a roll of 3, not the correct
+  half-swap 5 (ranbowdqn.py:669).
+* List-based uniform ring ReplayBuffer(10000) sampled with
+  ``random.randint`` per draw -- the python ``random`` module, not
+  numpy (ranbowdqn.py:265-323); batch 32; learning gated on
+  ``len(buffer) > batch_size`` AND skipped on the terminal step (the
+  ``done: break`` comes first, ranbowdqn.py:676-683).
+* C51 projection with the support-weighted mass quirk
+  (``next_dist * support`` BEFORE the projection, ranbowdqn.py:560)
+  and gamma = 0.99 hardcoded (ranbowdqn.py:568); cross-entropy on the
+  action's distribution after in-place clamp(0.01, 0.99)
+  (ranbowdqn.py:595-600); ``reset_noise`` on BOTH nets after each
+  optimizer step (ranbowdqn.py:606-607).
+* Adam(1e-3); hard target update at init and every 20 episodes
+  (``epoc % 20 == 19``, ranbowdqn.py:648,690-691).
+* The reference logs only episode_reward (ranbowdqn.py:693); we also
+  record collision / win / mean-loss so the bands are comparable with
+  the repo run (win via ``state[8] > state[3]`` on the post-step obs,
+  the loop's state having advanced at ranbowdqn.py:674).
+
+The reference's 4000-episode default is impractically slow in serial
+torch (self-play can run 2,501-step timeout episodes with one C51 learn
+per step); ``--episodes`` defaults to 400 and the repo comparison is at
+the SAME episode count -- the parity claim is banded at matched scale,
+like the other two harnesses.
+
+Usage:
+    python benchmarks/reference_torch_rainbow.py --seed 0 --out /tmp/r0.json
+    python benchmarks/reference_torch_rainbow.py --aggregate /tmp/r*.json \
+        --repo docs/parity/rainbow_seed_variance.json \
+        --out docs/parity/reference_torch_rainbow.json
+"""
+
+import argparse
+import glob
+import json
+import math
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+NUM_STATES = 10
+NUM_ACTIONS = 5
+NUM_ATOMS = 51
+VMIN, VMAX = -10.0, 10.0
+BATCH_SIZE = 32        # ranbowdqn.py:652
+LR = 1e-3              # ranbowdqn.py:645
+GAMMA = 0.99           # ranbowdqn.py:568 (hardcoded in the projection)
+CAPACITY = 10000       # ranbowdqn.py:647
+TARGET_EVERY = 20      # ranbowdqn.py:690
+
+
+def build_model(torch, nn, F):
+    """ranbowdqn.py:440-535, flattened (no CUDA branches)."""
+
+    class NoisyLinear(nn.Module):
+        def __init__(self, n_in, n_out, std_init=0.4):
+            super().__init__()
+            self.n_in, self.n_out = n_in, n_out
+            self.weight_mu = nn.Parameter(torch.FloatTensor(n_out, n_in))
+            self.weight_sigma = nn.Parameter(torch.FloatTensor(n_out, n_in))
+            self.register_buffer("weight_epsilon",
+                                 torch.FloatTensor(n_out, n_in))
+            self.bias_mu = nn.Parameter(torch.FloatTensor(n_out))
+            self.bias_sigma = nn.Parameter(torch.FloatTensor(n_out))
+            self.register_buffer("bias_epsilon", torch.FloatTensor(n_out))
+            mu_range = 1 / math.sqrt(n_in)
+            self.weight_mu.data.uniform_(-mu_range, mu_range)
+            self.weight_sigma.data.fill_(std_init / math.sqrt(n_in))
+            self.bias_mu.data.uniform_(-mu_range, mu_range)
+            self.bias_sigma.data.fill_(std_init / math.sqrt(n_out))
+            self.reset_noise()
+
+        def _scale(self, size):
+            x = torch.randn(size)
+            return x.sign().mul(x.abs().sqrt())
+
+        def reset_noise(self):
+            ein, eout = self._scale(self.n_in), self._scale(self.n_out)
+            self.weight_epsilon.copy_(eout.ger(ein))
+            self.bias_epsilon.copy_(self._scale(self.n_out))
+
+        def forward(self, x):
+            w = self.weight_mu + self.weight_sigma * self.weight_epsilon
+            b = self.bias_mu + self.bias_sigma * self.bias_epsilon
+            return F.linear(x, w, b)
+
+    class RainbowDQN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.linear1 = nn.Linear(NUM_STATES, 32)
+            self.linear2 = nn.Linear(32, 64)
+            self.noisy_value1 = NoisyLinear(64, 64)
+            self.noisy_value2 = NoisyLinear(64, NUM_ATOMS)
+            self.noisy_advantage1 = NoisyLinear(64, 64)
+            self.noisy_advantage2 = NoisyLinear(64, NUM_ATOMS * NUM_ACTIONS)
+
+        def forward(self, x):
+            bs = x.size(0)
+            x = F.relu(self.linear1(x))
+            x = F.relu(self.linear2(x))
+            value = self.noisy_value2(F.relu(self.noisy_value1(x)))
+            adv = self.noisy_advantage2(F.relu(self.noisy_advantage1(x)))
+            value = value.view(bs, 1, NUM_ATOMS)
+            adv = adv.view(bs, NUM_ACTIONS, NUM_ATOMS)
+            x = value + adv - adv.mean(1, keepdim=True)
+            return F.softmax(x.view(-1, NUM_ATOMS), dim=1).view(
+                -1, NUM_ACTIONS, NUM_ATOMS)
+
+        def reset_noise(self):
+            for m in (self.noisy_value1, self.noisy_value2,
+                      self.noisy_advantage1, self.noisy_advantage2):
+                m.reset_noise()
+
+        def act(self, state):
+            with torch.no_grad():
+                dist = self.forward(
+                    torch.FloatTensor(state).unsqueeze(0))
+            dist = dist * torch.linspace(VMIN, VMAX, NUM_ATOMS)
+            return int(dist.sum(2).max(1)[1].item())
+
+    return RainbowDQN
+
+
+def run(seed, episodes, progress_every=20):
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from merging_gym_tpu.core.oracle import OracleMergeEnv
+
+    torch.set_num_threads(1)
+    np.random.seed(seed)
+    random.seed(seed)
+    torch.manual_seed(seed)
+
+    RainbowDQN = build_model(torch, nn, F)
+    env = OracleMergeEnv()
+    current = RainbowDQN()
+    target = RainbowDQN()
+    optimizer = torch.optim.Adam(current.parameters(), LR)
+    target.load_state_dict(current.state_dict())   # ranbowdqn.py:648
+
+    storage = []          # ranbowdqn.py:265-288
+    next_idx = 0
+    support = torch.linspace(VMIN, VMAX, NUM_ATOMS)
+
+    def push(item):
+        nonlocal next_idx
+        if next_idx >= len(storage):
+            storage.append(item)
+        else:
+            storage[next_idx] = item
+        next_idx = (next_idx + 1) % CAPACITY
+
+    def sample():
+        idxes = [random.randint(0, len(storage) - 1)
+                 for _ in range(BATCH_SIZE)]
+        cols = list(zip(*(storage[i] for i in idxes)))
+        return (np.array(cols[0]), np.array(cols[1]), np.array(cols[2]),
+                np.array(cols[3]), np.array(cols[4]))
+
+    def projection(next_state, rewards, dones):
+        # ranbowdqn.py:554-582 (support-weighted mass quirk included).
+        delta_z = (VMAX - VMIN) / (NUM_ATOMS - 1)
+        with torch.no_grad():
+            next_dist = target(next_state) * support
+        next_action = next_dist.sum(2).max(1)[1]
+        next_action = next_action.unsqueeze(1).unsqueeze(1).expand(
+            next_dist.size(0), 1, NUM_ATOMS)
+        next_dist = next_dist.gather(1, next_action).squeeze(1)
+        rewards = rewards.unsqueeze(1).expand_as(next_dist)
+        dones = dones.unsqueeze(1).expand_as(next_dist)
+        sup = support.unsqueeze(0).expand_as(next_dist)
+        Tz = (rewards + (1 - dones) * GAMMA * sup).clamp(VMIN, VMAX)
+        b = (Tz - VMIN) / delta_z
+        lo, up = b.floor().long(), b.ceil().long()
+        offset = torch.linspace(0, (next_dist.size(0) - 1) * NUM_ATOMS,
+                                next_dist.size(0)).long() \
+            .unsqueeze(1).expand(next_dist.size(0), NUM_ATOMS)
+        proj = torch.zeros(next_dist.size())
+        proj.view(-1).index_add_(0, (lo + offset).view(-1),
+                                 (next_dist * (up.float() - b)).view(-1))
+        proj.view(-1).index_add_(0, (up + offset).view(-1),
+                                 (next_dist * (b - lo.float())).view(-1))
+        return proj
+
+    def learn():
+        # ranbowdqn.py:584-609.
+        s, a, r, ns, d = sample()
+        s = torch.FloatTensor(np.float32(s))
+        ns = torch.FloatTensor(np.float32(ns))
+        a = torch.LongTensor(a)
+        r = torch.FloatTensor(r)
+        d = torch.FloatTensor(np.float32(d))
+        proj = projection(ns, r, d)
+        dist = current(s)
+        a = a.unsqueeze(1).unsqueeze(1).expand(BATCH_SIZE, 1, NUM_ATOMS)
+        dist = dist.gather(1, a).squeeze(1)
+        dist.data.clamp_(0.01, 0.99)
+        loss = -(proj * dist.log()).sum(1).mean()
+        optimizer.zero_grad()
+        loss.backward()
+        optimizer.step()
+        current.reset_noise()
+        target.reset_noise()
+        return float(loss.item())
+
+    reward_list, loss_tail, win_flags = [], [], []
+    collision_count = win_count = env_steps = learns = 0
+    t0 = time.time()
+
+    for epoc in range(episodes):
+        episode_reward = 0.0
+        state = env.reset()
+        while True:
+            action = current.act(state)
+            action_op = current.act(state[3:] + state[:3])  # slice BUG :669
+            next_state, rewards, done, info = env.step(action, action_op)
+            env_steps += 1
+            if info["collision"]:
+                collision_count += 1
+            push((state, action, rewards[0], next_state, done))
+            state = next_state
+            episode_reward += rewards[0]
+            if done:
+                break                        # BEFORE the learn, :676-678
+            if len(storage) > BATCH_SIZE:
+                loss_tail.append(learn())
+                learns += 1
+                if len(loss_tail) > 200:
+                    loss_tail.pop(0)
+        if epoc % TARGET_EVERY == TARGET_EVERY - 1:
+            target.load_state_dict(current.state_dict())
+        reward_list.append(episode_reward)
+        won = state[8] > state[3]
+        win_flags.append(bool(won))
+        win_count += int(won)
+        if progress_every and (epoc + 1) % progress_every == 0:
+            print(f"seed {seed} ep {epoc+1}/{episodes} "
+                  f"coll {collision_count/(epoc+1):.3f} "
+                  f"win {win_count/(epoc+1):.3f} "
+                  f"rew {np.mean(reward_list[-20:]):.2f} "
+                  f"loss {np.mean(loss_tail[-200:]):.2f} "
+                  f"steps {env_steps} {time.time()-t0:.0f}s", flush=True)
+
+    return {
+        "seed": seed,
+        "episodes": episodes,
+        "env_steps": env_steps,
+        "learns": learns,
+        "wall_seconds": round(time.time() - t0, 1),
+        "collision_rate": collision_count / episodes,
+        "win_rate": win_count / episodes,
+        "reward": float(np.mean(reward_list)),
+        "reward_tail_mean": float(np.mean(reward_list[-episodes // 4:])),
+        "loss_tail_mean": float(np.mean(loss_tail)) if loss_tail else None,
+        "curves": {"reward": [round(r, 4) for r in reward_list]},
+    }
+
+
+def aggregate(run_files, repo_file, out):
+    runs = []
+    for f in run_files:
+        with open(f) as fh:
+            runs.append(json.load(fh))
+    runs.sort(key=lambda r: r["seed"])
+
+    def band(key):
+        vals = [r[key] for r in runs]
+        return {"mean": float(np.mean(vals)), "std": float(np.std(vals)),
+                "min": float(np.min(vals)), "max": float(np.max(vals))}
+
+    summary = {k: band(k) for k in ("collision_rate", "win_rate", "reward")}
+
+    comparison = None
+    if repo_file and os.path.exists(repo_file):
+        with open(repo_file) as fh:
+            repo = json.load(fh)["summary"]
+        comparison = {}
+        for k in ("collision_rate", "win_rate", "reward"):
+            ref_m, ref_s = summary[k]["mean"], summary[k]["std"]
+            rep_m, rep_s = repo[k]["mean"], repo[k]["std"]
+            comb = float(np.hypot(ref_s, rep_s))
+            comparison[k] = {
+                "reference_torch": {"mean": ref_m, "std": ref_s},
+                "repo_faithful": {"mean": rep_m, "std": rep_s},
+                "abs_diff": abs(ref_m - rep_m),
+                "combined_std": comb,
+                "within_2sigma": bool(abs(ref_m - rep_m) <= 2 * comb),
+            }
+
+    doc = {
+        "what": ("The reference's own torch Rainbow learner "
+                 "(scripts/ranbowdqn.py semantics, see "
+                 "benchmarks/reference_torch_rainbow.py) run against the "
+                 "f64 oracle env in self-play (roll-3 slice bug kept); "
+                 "bands over seeds at matched episode count, compared with "
+                 "the repo's faithful Rainbow config."),
+        "runs": [{k: v for k, v in r.items() if k != "curves"} for r in runs],
+        "summary": summary,
+        "comparison": comparison,
+    }
+    with open(out, "w") as fh:
+        json.dump(doc, fh, indent=1)
+        fh.write("\n")
+    curves_path = os.path.splitext(out)[0] + "_curves.json"
+    with open(curves_path, "w") as fh:
+        json.dump({r["seed"]: r["curves"] for r in runs}, fh)
+    print(json.dumps({"summary": summary, "comparison": comparison},
+                     indent=1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--episodes", type=int, default=400)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--aggregate", nargs="*", default=None)
+    ap.add_argument("--repo",
+                    default="docs/parity/rainbow_seed_variance.json")
+    args = ap.parse_args()
+
+    if args.aggregate is not None:
+        files = sorted(set(sum((glob.glob(g) for g in args.aggregate), [])))
+        if not files:
+            sys.exit("no run files matched")
+        aggregate(files, args.repo,
+                  args.out or "docs/parity/reference_torch_rainbow.json")
+        return
+
+    result = run(args.seed, args.episodes)
+    out = args.out or f"reference_torch_rainbow_seed{args.seed}.json"
+    with open(out, "w") as fh:
+        json.dump(result, fh)
+    print(json.dumps({k: v for k, v in result.items() if k != "curves"},
+                     indent=1))
+
+
+if __name__ == "__main__":
+    main()

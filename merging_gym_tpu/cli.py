@@ -319,26 +319,23 @@ def cmd_train(args):
 
     if args.algo == "rainbow" and getattr(args, "fused_kernel", False):
         # Single-kernel Rainbow trainer (ops.fused_rainbow): noisy dueling
-        # C51 actor + env + uniform slab ring + hand-backprop learner +
-        # on-chip noise resampling + episodic target sync as ONE
-        # pallas_call per chunk.  The reference configuration only
-        # (uniform ring, 1-step); PER / n-step stay on the XLA path.
+        # C51 actor + env + slab ring + hand-backprop learner + on-chip
+        # noise resampling + episodic target sync as ONE pallas_call per
+        # chunk.  --per runs prioritised sampling on-chip (priorities in
+        # the ring's pad row) and --n-step reconstructs n-step returns
+        # from consecutive slabs at sample time (ops.fused_rainbow).
         from merging_gym_tpu.agents import rainbow as R
         from merging_gym_tpu.ops import fused_rainbow as FRB
 
         if env_params.random_start and args.greedy_actor:
             raise SystemExit("--random-start needs the on-chip PRNG, which "
                              "--greedy-actor skips; drop one of the two")
-        if args.per or args.n_step != 1:
-            raise SystemExit("rainbow --fused-kernel is the reference "
-                             "configuration (uniform ring, 1-step); drop "
-                             "--per/--n-step or the --fused-kernel flag")
         if args.learn_rounds != 1:
             raise SystemExit("--learn-rounds is a dqn-only fused option "
                              "(rainbow supports --learn-batch)")
         mode, opp = _opponent_mode(args)
         cfg = R.RainbowConfig(
-            opponent=mode,
+            opponent=mode, per=args.per, n_step=args.n_step,
             memory_capacity=args.memory_capacity or 8 * args.num_envs,
             gamma=args.gamma if args.gamma is not None else 0.99,
             epsilon=args.epsilon, obs_scale=args.obs_scale,

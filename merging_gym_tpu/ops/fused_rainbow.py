@@ -44,12 +44,40 @@ b_k; ``faithful_c51`` multiplies by (floor(b_k) != ceil(b_k)) to
 reproduce the reference's integer-hit mass loss (ranbowdqn.py:572-580,
 see ops.projection).
 
-Sampling deviation (same family as ops.fused_trainer, documented
-there): each learn consumes one uniformly chosen whole round slab
-(all n lanes of one past step) instead of 32 i.i.d. draws; the uniform
-marginal over stored transitions is kept.  PER and n-step stay on the
-XLA path (agents.rainbow) -- this kernel is the reference's actual
-configuration (uniform ring, 1-step, ranbowdqn.py:645-647).
+Sampling deviation on the UNIFORM path (same family as
+ops.fused_trainer, documented there): each learn consumes one uniformly
+chosen whole round slab (all n lanes of one past step) instead of 32
+i.i.d. draws; the uniform marginal over stored transitions is kept.
+This is the reference's actual configuration (uniform ring, 1-step,
+ranbowdqn.py:645-647).
+
+The full Rainbow extensions run in-kernel too (round 3):
+
+  * **PER** (``cfg.per``): per-transition priorities live in the ring
+    slab's pad row (NUM_F row 23 -- zero VMEM/checkpoint overhead, and
+    they lane-shard with the ring under SPMD); new writes get the
+    running ``max_priority ** alpha`` (a replicated env row,
+    ranbowdqn.py:353-358); each learn draws ``B`` i.i.d. transitions by
+    stratified inverse-CDF over the valid (round, lane) grid -- the
+    two-level count-and-one-hot of :func:`per_pick`, built purely from
+    triangular/one-hot MXU matmuls so there is no cumsum, gather or
+    scatter primitive anywhere -- applies max-weight-normalised
+    importance weights (ops.per.per_sample, per.py:64-91) and scatters
+    ``(ce + 1e-5) ** alpha`` back (per.py:94-101).  The B draws use one
+    host-supplied stratified offset per step (``us``), so the whole
+    PER path is deterministic given the seed even on-chip.  Deviation
+    from ops.per: the B strata share one uniform offset per learn
+    (instead of B independent ones) -- each stratum remains exactly
+    proportional; only the joint is correlated.
+  * **n-step** (``cfg.n_step`` > 1): nothing extra is stored -- the
+    slab ring IS a time-major history, so the n-step return, the
+    truncated-at-done flag and the bootstrap obs are reconstructed at
+    sample time from ``n_step`` consecutive slabs
+    (:func:`nstep_batch_from_slabs`), with content exactly equal to
+    ops.nstep's emissions (nstep.py:48-93).  Deviation: a transition
+    becomes sampleable ``n_step - 1`` steps after it is written (the
+    XLA path emits done-flushed entries immediately); its content when
+    sampled is identical.
 
 ``greedy=True`` skips the on-chip PRNG entirely: the actor is the pure
 argmax it already was, and the noise stays at whatever the carry
@@ -90,8 +118,11 @@ TRUNK0, TRUNK1 = 32, 64   # ranbowdqn.py:508-509
 # Packed noisy-block row offsets: value1, value2, advantage1, advantage2.
 OFF_V1, OFF_V2, OFF_A1, OFF_A2 = 0, 64, 120, 184
 NP = OFF_A2 + A * AP  # 464 packed rows
-ENV_ROWS = 13         # pos 2, vel 2, xy 4, winner, t, ep_reward,
-                      # sync_chunks, ep_cum (per-lane episode counts)
+ENV_ROWS = 14         # pos 2, vel 2, xy 4, winner, t, ep_reward,
+                      # sync_chunks, ep_cum (per-lane episode counts),
+                      # max_priority (replicated pre-alpha PER running
+                      # max, ranbowdqn.py:353-358; 1.0 and inert unless
+                      # cfg.per)
 DELTA_Z = (V_MAX - V_MIN) / (ATOMS - 1)
 
 
@@ -257,13 +288,17 @@ def _projection(next_probs, reward, done, gamma, faithful):
 
 
 def rainbow_learn_math(p, tp, m, v, eps, teps, batch, t, *, gamma, lr,
-                       obs_scale, faithful):
-    """One C51 + Adam step; returns (new_p, new_m, new_v, loss).
+                       obs_scale, faithful, weights=None):
+    """One C51 + Adam step; returns (new_p, new_m, new_v, loss, ce).
 
     ``batch``: obs [10, n], action i32 [n], reward [n], next_obs [10, n],
     done bool [n] (raw obs; scaling applied here).  ``t``: 1-based Adam
-    step.  Mirrors agents.rainbow.rainbow_loss + optax.adam exactly
-    (locked by tests/test_fused_rainbow.py).
+    step.  ``weights`` (f32 [n], optional): PER importance weights --
+    the loss becomes ``mean(weights * ce)`` and the returned ``ce``
+    stays unweighted, exactly agents.rainbow.rainbow_loss's contract
+    (its ce feeds ``per_update_priorities``).  Mirrors
+    agents.rainbow.rainbow_loss + optax.adam exactly (locked by
+    tests/test_fused_rainbow.py).
     """
     scale = 1.0 if obs_scale is None else float(obs_scale)
     x = batch["obs"] * scale
@@ -288,11 +323,12 @@ def rainbow_learn_math(p, tp, m, v, eps, teps, batch, t, *, gamma, lr,
     clipped = jnp.clip(dist_sel, 0.01, 0.99)
     # log of pad rows (exact 0 -> clipped 0.01) is finite; proj pad = 0.
     ce = -jnp.sum(proj * jnp.log(clipped), axis=0)
-    loss = jnp.mean(ce)
+    w = jnp.ones_like(ce) if weights is None else weights
+    loss = jnp.mean(ce * w)
 
     # --- hand backprop -----------------------------------------------------
     inr = ((dist_sel > 0.01) & (dist_sel < 0.99)).astype(jnp.float32)
-    g = -(proj / clipped) * inr * (1.0 / n)                          # [AP, n]
+    g = -(proj / clipped) * inr * (w[None, :] * (1.0 / n))           # [AP, n]
     s = jnp.sum(g * dist_sel, axis=0, keepdims=True)
     dl = dist_sel * g - dist_sel * s          # dlogits of the selected action
     # Dueling: dvalue = sum_a dlogits_a = dl; dadv_a = (1{a=a1} - 1/A) dl.
@@ -341,7 +377,129 @@ def rainbow_learn_math(p, tp, m, v, eps, teps, batch, t, *, gamma, lr,
         new_p.append(pi - upd)
         new_m.append(mi)
         new_v.append(vi)
-    return tuple(new_p), tuple(new_m), tuple(new_v), loss
+    return tuple(new_p), tuple(new_m), tuple(new_v), loss, ce
+
+
+# ---------------------------------------------------------------------------
+# n-step + PER building blocks (pure jnp on Mosaic-safe primitives --
+# dot_general, iota, static slices -- shared by the kernel and the CPU
+# parity tests, like rainbow_learn_math).
+# ---------------------------------------------------------------------------
+
+def nstep_batch_from_slabs(slabs, gamma):
+    """Reconstruct n-step transitions from ``n_step`` consecutive ring
+    slabs (temporal order; ``slabs[0]`` is the start round).
+
+    Produces exactly ops.nstep's emission content -- the discounted
+    return truncated at the first episode end, done = any done in the
+    window up to that point, and the bootstrap ``next_obs`` from the
+    stop round (nstep.py:48-93) -- reconstructed at SAMPLE time from
+    the slab ring instead of maintained in a sliding window, which is
+    free on a round-structured ring: round r+k holds lane l's step
+    t+k whenever no reset intervened, and the stored per-step ``done``
+    flags encode every reset.  For ``n_step == 1`` this reduces
+    bit-exactly to the plain 1-step batch.
+    """
+    g0 = slabs[0]
+    ret = jnp.zeros_like(g0[21])
+    next_obs = jnp.zeros_like(g0[10:20])
+    alive = jnp.ones_like(g0[22])      # no done at rounds < k yet
+    n_step = len(slabs)
+    for k, s in enumerate(slabs):
+        done_k = s[22]
+        ret = ret + (gamma ** k) * s[21] * alive
+        sel = alive * done_k if k < n_step - 1 else alive
+        next_obs = next_obs + sel[None, :] * s[10:20]
+        alive = alive * (1.0 - done_k)
+    return {"obs": g0[0:10], "action": g0[20].astype(jnp.int32),
+            "reward": ret, "next_obs": next_obs, "done": alive < 0.5}
+
+
+def _inclusive_prefix_cols(x):
+    """Inclusive prefix sums along the last axis of ``x`` [r, c] via a
+    c x c upper-triangular one-hot matmul (c <= 128: one MXU tile)."""
+    c = x.shape[-1]
+    ii = lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    return _mm(x, (ii <= jj).astype(jnp.float32))
+
+
+def per_pick(P, u):
+    """Proportional inverse-CDF selection over a round-slab priority grid.
+
+    ``P`` f32 [R, n]: per-transition priorities (already alpha-powered,
+    invalid slots zeroed).  ``u`` f32 [B, 1]: target positions in
+    ``[0, sum(P))``.  Returns ``(ohR [B, R], ohL [B, n], p_sel [B])`` --
+    one-hot round and lane selectors plus the selected priorities.
+
+    Index order is round-major/lane-minor and the pick is the
+    ``searchsorted(cdf, u, side='right')`` index (clipped), i.e. the
+    flat-cdf semantics of ops.per.per_sample (per.py:76-82) on this
+    grid.  Implemented as three levels of count-and-one-hot (rounds ->
+    128-lane blocks -> lanes) so every op is a static slice, an iota
+    comparison or a triangular matmul -- no cumsum/gather/scatter
+    primitives, hence Mosaic- and interpreter-safe.
+    """
+    R, n = P.shape
+    B = u.shape[0]
+    # Level 1: rounds.
+    s_r = jnp.sum(P, axis=1, keepdims=True)                     # [R, 1]
+    ir = lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    jr = lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    prefix = _mm((jr <= ir).astype(jnp.float32), s_r)           # [R, 1] incl.
+    cntR = jnp.sum((jnp.transpose(prefix) <= u).astype(jnp.int32),
+                   axis=1, keepdims=True)                       # [B, 1]
+    cntR = jnp.minimum(cntR, R - 1)
+    ohR = (lax.broadcasted_iota(jnp.int32, (B, R), 1)
+           == cntR).astype(jnp.float32)                         # [B, R]
+    v = u - _mm(ohR, prefix - s_r)                              # [B, 1]
+    prow = _mm(ohR, P)                                          # [B, n]
+    # Level 2: 128-lane blocks of the chosen round.
+    G = n // 128
+    S = jnp.concatenate(
+        [jnp.sum(prow[:, g * 128:(g + 1) * 128], axis=1, keepdims=True)
+         for g in range(G)], axis=1)                            # [B, G]
+    gpref = _inclusive_prefix_cols(S)                           # [B, G]
+    cntG = jnp.minimum(jnp.sum((gpref <= v).astype(jnp.int32),
+                               axis=1, keepdims=True), G - 1)
+    ohG = (lax.broadcasted_iota(jnp.int32, (B, G), 1)
+           == cntG).astype(jnp.float32)                         # [B, G]
+    v2 = v - jnp.sum(ohG * (gpref - S), axis=1, keepdims=True)
+    brow = sum(ohG[:, g:g + 1] * prow[:, g * 128:(g + 1) * 128]
+               for g in range(G))                               # [B, 128]
+    # Level 3: lanes within the chosen block.
+    bpref = _inclusive_prefix_cols(brow)
+    cntL = jnp.minimum(jnp.sum((bpref <= v2).astype(jnp.int32),
+                               axis=1, keepdims=True), 127)
+    oh128 = (lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+             == cntL).astype(jnp.float32)                       # [B, 128]
+    ohL = jnp.concatenate([ohG[:, g:g + 1] * oh128 for g in range(G)],
+                          axis=1)                               # [B, n]
+    return ohR, ohL, jnp.sum(prow * ohL, axis=1)
+
+
+def per_gather_slabs(ring_slabs, ohR, ohL, n_step):
+    """Gather ``n_step`` consecutive slabs for B sampled (round, lane)
+    starts via one-hot MXU contractions.
+
+    ``ring_slabs``: list of R [NUM_F, n] slab views (temporal ring
+    positions).  Successor k of start round r is ring position
+    (r + k) mod R, i.e. the start one-hot with its columns rolled by k
+    (a static concatenate).  Returns ``n_step`` [NUM_F, B] slabs.
+    """
+    R = len(ring_slabs)
+    out = []
+    ohRk = ohR
+    for k in range(n_step):
+        if k:
+            ohRk = jnp.concatenate([ohR[:, R - k:], ohR[:, :R - k]], axis=1)
+        acc = None
+        for r in range(R):
+            w_r = ohRk[:, r:r + 1] * ohL                        # [B, n]
+            c = _mm_nt(ring_slabs[r], w_r)                      # [NUM_F, B]
+            acc = c if acc is None else acc + c
+        out.append(acc)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -351,6 +509,12 @@ def rainbow_learn_math(p, tp, m, v, eps, teps, batch, t, *, gamma, lr,
 def _f_scale(x):
     """sign(x) * sqrt(|x|) (ranbowdqn.py:493-496)."""
     return jnp.sign(x) * jnp.sqrt(jnp.abs(x))
+
+
+def _pow(x, p):
+    """x ** p for x > 0 as exp(p * log(x)) -- Mosaic has no powf
+    legalization; the clamp guards the measure-zero log(0) edge."""
+    return jnp.exp(p * jnp.log(jnp.maximum(x, 1e-30)))
 
 
 def _normals(shape):
@@ -378,9 +542,10 @@ def _fresh_eps():
     return jnp.concatenate(segs), _f_scale(_normals((NP, 1)))
 
 
-def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
+def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, us_ref, *refs,
             n, R, B, opp, roll, p_greedy, has_eps, gamma, lr, sync_eps,
-            obs_scale, faithful, greedy, random_start):
+            obs_scale, faithful, greedy, random_start, per, n_step,
+            alpha, beta):
     # inputs: p 8, tp 8, m 8, v 8, eps 2, teps 2, opp 6, env 1, ring 1 (44)
     # outputs: p 8, tp 8, m 8, v 8, eps 2, teps 2, env 1, ring 1, met 1,
     #          loss 1  (40)
@@ -431,6 +596,11 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
                             # sync below needs no host-supplied prior and
                             # stays internally consistent on any mesh
                             # (per-device counts under SPMD)
+    maxp = env[13]          # replicated PER running max priority (pre-
+                            # alpha); read BEFORE the learn so this
+                            # step's ring write uses the prior max,
+                            # matching the XLA order (rainbow.py:263
+                            # before :293)
 
     obs = jnp.stack([
         x2 - x1, y2 - y1, vel[1] - vel[0], C.END_POINT - pos[0], vel[0],
@@ -481,44 +651,102 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
         _env_step_math(pos, vel, winner, tcnt, jnp.zeros((n,), bool),
                        actions, rcfg, cfg_ref[1])
 
-    # --- replay write: unconditional (ranbowdqn.py:673) ------------------------
+    # --- replay write: unconditional (ranbowdqn.py:673); with PER the
+    # slab's pad row carries the transition's priority, initialised to
+    # the running max (pre-alpha) ** alpha (ranbowdqn.py:353-358) --------------
     r_cur = lax.rem(base + i, jnp.int32(R))
+    pad_row = _pow(maxp, alpha) if per else jnp.zeros((n,), jnp.float32)
     slab = jnp.concatenate([
         obs, next_obs,
         jnp.stack([a1.astype(jnp.float32), rewards[0],
-                   done.astype(jnp.float32),
-                   jnp.zeros((n,), jnp.float32)]),
+                   done.astype(jnp.float32), pad_row]),
     ])
     ring_o[pl.ds(r_cur * NUM_F, NUM_F), :] = slab
 
-    # --- learner (gate: >= 2 stored rounds, the vectorised fill>batch of
-    # ranbowdqn.py:682; rounds_ref is host-drawn within the filled prefix) ----
-    can_learn = (warm == 1) | (base + i >= 1)
-    lc = prior_learns + jnp.where(warm == 1, i, i - (jnp.int32(1) - base))
+    # --- learner (gate: >= n_step + 1 stored rounds -- the vectorised
+    # fill>batch of ranbowdqn.py:682, generalised so at least one n-step
+    # start round plus its window is stored; rounds_ref is host-drawn
+    # within the valid prefix on the uniform path) ----------------------------
+    can_learn = (warm == 1) | (base + i >= n_step)
+    lc = prior_learns + jnp.where(warm == 1, i,
+                                  i - (jnp.int32(n_step) - base))
 
     @pl.when(can_learn)
     def _():
-        if B == n:
-            s = ring_o[pl.ds(rounds_ref[i] * NUM_F, NUM_F), :]
+        if per:
+            # --- on-chip prioritised sampling (ops.per semantics) ----------
+            stored = jnp.minimum(cfg_ref[5] + i + 1, jnp.int32(R))
+            rowi = lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+            age = lax.rem(r_cur - rowi + jnp.int32(R), jnp.int32(R))
+            validr = (age >= n_step - 1) & (age <= stored - 1)
+            P = jnp.concatenate(
+                [ring_o[r * NUM_F + NUM_F - 1:r * NUM_F + NUM_F, :]
+                 for r in range(R)])                            # [R, n]
+            P = jnp.where(validr, P, 0.0)
+            total = jnp.sum(P)
+            # B stratified positions from ONE host uniform per step
+            # (u_b = (b + u)/B * total): each stratum's draw is exact;
+            # strata share the offset (documented deviation from
+            # per.py:79-80's independent strata).
+            # (int iota + cast: Mosaic's tpu.iota is integer-only)
+            bcol = lax.broadcasted_iota(jnp.int32, (B, 1), 0).astype(
+                jnp.float32)
+            u = (bcol + us_ref[i]) * (total * (1.0 / B))        # [B, 1]
+            ohR, ohL, p_sel = per_pick(P, u)
+            slabs = per_gather_slabs(
+                [ring_o[r * NUM_F:(r + 1) * NUM_F, :] for r in range(R)],
+                ohR, ohL, n_step)
+            batch = nstep_batch_from_slabs(slabs, gamma)
+            # Importance weights, max-weight (min-priority) normalised
+            # (per.py:83-88).
+            nvalid = (stored - (n_step - 1)).astype(jnp.float32) * float(n)
+            w = _pow(p_sel * (nvalid / total), -beta)
+            pmin = jnp.min(jnp.where(P > 0.0, P, jnp.inf))
+            w = w * _pow(pmin * (nvalid / total), beta)         # [B]
         else:
-            # Uniformly chosen disjoint B-lane window of the chosen round
-            # (the fused_trainer learn_batch pattern: cuts the dominant
-            # C51 learner cost by n/B and restores a reference-scale
-            # batch, ranbowdqn.py:682 uses 32).
-            s = ring_o[pl.ds(rounds_ref[i] * NUM_F, NUM_F),
-                       pl.ds(cols_ref[i] * B, B)]
-        batch = {"obs": s[0:10], "next_obs": s[10:20],
-                 "action": s[20].astype(jnp.int32), "reward": s[21],
-                 "done": s[22] > 0.5}
-        new_p, new_m, new_v, loss = rainbow_learn_math(
+            pos = rounds_ref[i]
+            slabs = []
+            for k in range(n_step):
+                pk = lax.rem(pos + k, jnp.int32(R)) if k else pos
+                if B == n:
+                    slabs.append(ring_o[pl.ds(pk * NUM_F, NUM_F), :])
+                else:
+                    # Uniformly chosen disjoint B-lane window of the
+                    # chosen round (the fused_trainer learn_batch
+                    # pattern: cuts the dominant C51 learner cost by
+                    # n/B and restores a reference-scale batch,
+                    # ranbowdqn.py:682 uses 32).
+                    slabs.append(ring_o[pl.ds(pk * NUM_F, NUM_F),
+                                        pl.ds(cols_ref[i] * B, B)])
+            batch = nstep_batch_from_slabs(slabs, gamma)
+            w = None
+        new_p, new_m, new_v, loss, ce = rainbow_learn_math(
             tuple(r[:] for r in p_o), tuple(r[:] for r in tp_o),
             tuple(r[:] for r in m_o), tuple(r[:] for r in v_o),
             tuple(r[:] for r in eps_o), tuple(r[:] for r in teps_o),
             batch, lc + 1, gamma=gamma, lr=lr, obs_scale=obs_scale,
-            faithful=faithful)
+            faithful=faithful, weights=w)
         for dst, val in zip(p_o + m_o + v_o, new_p + new_m + new_v):
             dst[:] = val
         loss_o[:] = jnp.full((8, 128), loss, jnp.float32)
+        if per:
+            # --- priority update at the sampled starts (per.py:94-101):
+            # new pre-alpha priority ce + 1e-5 (rainbow.py:293), running
+            # max tracked in the replicated env row.  Duplicate draws of
+            # one slot share the same ce, so the mean-blend below equals
+            # the reference's last-write .at[].set.
+            newp_pre = jnp.maximum(ce + 1e-5, 1e-8)             # [B]
+            newp = _pow(newp_pre, alpha)
+            for r in range(R):
+                w_r = ohR[:, r:r + 1] * ohL                     # [B, n]
+                cov = jnp.sum(w_r, axis=0, keepdims=True)       # [1, n]
+                contrib = jnp.sum(w_r * newp[:, None], axis=0,
+                                  keepdims=True)
+                old = ring_o[r * NUM_F + NUM_F - 1:r * NUM_F + NUM_F, :]
+                ring_o[r * NUM_F + NUM_F - 1:r * NUM_F + NUM_F, :] = \
+                    jnp.where(cov > 0.0, contrib / jnp.maximum(cov, 1.0),
+                              old)
+            env_o[13] = jnp.maximum(maxp, jnp.max(newp_pre))
         # reset_noise on both nets AFTER the update (ranbowdqn.py:606-607);
         # during warm-up the acting noise stays fixed, as in the reference.
         if not greedy:
@@ -582,18 +810,21 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
     jax.jit, static_argnames=("num_steps", "n", "R", "B", "opp", "roll",
                               "p_greedy", "has_eps", "gamma", "lr",
                               "sync_eps", "obs_scale", "faithful", "greedy",
-                              "random_start", "interpret"))
-def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, opp,
-          roll, p_greedy, has_eps, gamma, lr, sync_eps, obs_scale, faithful,
-          greedy, random_start=False, interpret=False):
+                              "random_start", "per", "n_step", "alpha",
+                              "beta", "interpret"))
+def _call(cfg, rewards_vec, rounds, cols, us, arrays, num_steps, n, R, B,
+          opp, roll, p_greedy, has_eps, gamma, lr, sync_eps, obs_scale,
+          faithful, greedy, random_start=False, per=False, n_step=1,
+          alpha=0.6, beta=0.4, interpret=False):
     kernel = functools.partial(
         _kernel, n=n, R=R, B=B, opp=opp, roll=roll, p_greedy=p_greedy,
         has_eps=has_eps, gamma=gamma, lr=lr, sync_eps=sync_eps,
         obs_scale=obs_scale, faithful=faithful, greedy=greedy,
-        random_start=random_start)
+        random_start=random_start, per=per, n_step=n_step, alpha=alpha,
+        beta=beta)
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
-    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
                 + [whole(a.shape) for a in arrays])
     state_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
                     for a in arrays[:36]]          # p, tp, m, v, eps, teps
@@ -614,40 +845,54 @@ def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, opp,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         **extra,
-    )(cfg, rewards_vec, rounds, cols, *arrays)
+    )(cfg, rewards_vec, rounds, cols, us, *arrays)
 
 
 def fused_rainbow_init(key, cfg, env_params, num_envs, opp_params=None,
                        learn_batch=None):
     """Fresh training state for the single-kernel Rainbow trainer.
 
-    ``cfg``: agents.rainbow.RainbowConfig.  ``cfg.batch_size`` is
-    ignored: the learner batch is ``num_envs`` unless ``learn_batch``
-    (a multiple of 128 dividing num_envs) is given, in which case each
-    learn consumes a uniformly chosen disjoint lane window of that
-    width -- the dominant C51 learner cost scales down by
-    num_envs/learn_batch (cf. ops.fused_trainer's learn_batch).
-    ``cfg.memory_capacity`` must be k*num_envs with k>=2; PER and
-    n-step>1 stay on the XLA path (module docstring).
+    ``cfg``: agents.rainbow.RainbowConfig -- including ``per`` (on-chip
+    prioritised sampling over the ring's pad-row priorities) and
+    ``n_step`` (returns reconstructed at sample time from consecutive
+    slabs; see the module docstring).  ``cfg.batch_size`` is used only
+    as the PER default batch: on the uniform path the learner batch is
+    ``num_envs`` unless ``learn_batch`` (a multiple of 128 dividing
+    num_envs) is given, in which case each learn consumes a uniformly
+    chosen disjoint lane window of that width -- the dominant C51
+    learner cost scales down by num_envs/learn_batch (cf.
+    ops.fused_trainer's learn_batch).  With ``per``, ``learn_batch``
+    (default cfg.batch_size rounded up to a multiple of 8) is the
+    number of i.i.d. prioritised draws per learn.
+    ``cfg.memory_capacity`` must be k*num_envs with k >= n_step + 1.
     """
     from merging_gym_tpu.nn.rainbow_net import rainbow_init, rainbow_sample_noise
 
-    if cfg.per or cfg.n_step != 1:
-        raise ValueError("fused_rainbow supports the reference configuration "
-                         "only (uniform ring, 1-step); use agents.rainbow "
-                         "for per/n_step")
     if cfg.num_actions != A or cfg.num_atoms != ATOMS:
         raise ValueError(f"fused_rainbow is compiled for {A} actions x "
                          f"{ATOMS} atoms")
     if num_envs % 128 != 0:
         raise ValueError(f"num_envs must be a multiple of 128, got {num_envs}")
-    B = num_envs if learn_batch is None else int(learn_batch)
-    if B % 128 != 0 or num_envs % B != 0:
-        raise ValueError("learn_batch must be a multiple of 128 dividing "
-                         f"num_envs, got learn_batch={B} num_envs={num_envs}")
+    if cfg.n_step < 1:
+        raise ValueError(f"n_step must be >= 1, got {cfg.n_step}")
+    if cfg.per:
+        # PER draws are i.i.d. one-hot gathers, not lane windows: any
+        # sublane-aligned batch works.
+        B = -(-cfg.batch_size // 8) * 8 if learn_batch is None \
+            else int(learn_batch)
+        if B % 8 != 0 or B < 8:
+            raise ValueError("with per, learn_batch must be a positive "
+                             f"multiple of 8, got {B}")
+    else:
+        B = num_envs if learn_batch is None else int(learn_batch)
+        if B % 128 != 0 or num_envs % B != 0:
+            raise ValueError("learn_batch must be a multiple of 128 dividing "
+                             f"num_envs, got learn_batch={B} "
+                             f"num_envs={num_envs}")
     R = cfg.memory_capacity // num_envs
-    if R < 2 or cfg.memory_capacity != R * num_envs:
-        raise ValueError("memory_capacity must be k*num_envs with k>=2, got "
+    if R < cfg.n_step + 1 or cfg.memory_capacity != R * num_envs:
+        raise ValueError("memory_capacity must be k*num_envs with "
+                         f"k >= n_step+1 = {cfg.n_step + 1}, got "
                          f"capacity={cfg.memory_capacity} num_envs={num_envs}")
     if (cfg.opponent == OPP_FROZEN) != (opp_params is not None):
         raise ValueError("opp_params must be given exactly when "
@@ -663,6 +908,7 @@ def fused_rainbow_init(key, cfg, env_params, num_envs, opp_params=None,
     n = num_envs
     env = np.zeros((ENV_ROWS, n), np.float32)
     env[0:8] = _init_env_rows(env_params, jax.random.fold_in(key, 7), n)
+    env[13] = 1.0   # PER running max priority (per_init, per.py:44)
     return {
         "p": p, "tp": p, "m": z, "v": z,  # update_target at init (:648)
         "eps": rainbow_noise_to_packed(
@@ -687,21 +933,47 @@ def fill_schedule(carry, num_steps):
                        + jnp.arange(num_steps, dtype=jnp.int32) + 1, R)
 
 
-def apply_rainbow_chunk(carry, out36, env, ring, num_steps, met_sum, loss):
+def draw_start_rounds(carry, num_steps, key, n_step):
+    """Uniform n-step START positions: a transition age drawn uniformly
+    from [n_step-1, stored-1] (so the whole forward window is stored),
+    mapped to its ring position (steps + i - age) mod R.  Shared by the
+    single-chip and SPMD draws.  For n_step == 1 the existing
+    fill_schedule draw is kept instead (identical distribution, stable
+    stream)."""
+    R = carry["R"]
+    u = jax.random.uniform(key, (num_steps,), jnp.float32)
+    if n_step == 1:
+        fill = fill_schedule(carry, num_steps)
+        rounds = jnp.floor(u * fill.astype(jnp.float32)).astype(jnp.int32)
+        return jnp.minimum(rounds, fill - 1)
+    stored = fill_schedule(carry, num_steps)
+    navail = jnp.maximum(stored - (n_step - 1), 1)
+    a = (n_step - 1) + jnp.minimum(
+        jnp.floor(u * navail.astype(jnp.float32)).astype(jnp.int32),
+        navail - 1)
+    i = jnp.arange(num_steps, dtype=jnp.int32)
+    return jnp.mod(jnp.asarray(carry["steps"], jnp.int32) + i - a,
+                   R).astype(jnp.int32)
+
+
+def apply_rainbow_chunk(carry, out36, env, ring, num_steps, met_sum, loss,
+                        nwarm=1):
     """Fold a launch's outputs back into the host-side carry dict (cf.
     ops.fused_trainer.apply_chunk) -- shared by fused_rainbow_chunk and
     parallel.spmd.spmd_fused_rainbow_chunk so the warm/learn counter
-    semantics have one definition."""
+    semantics have one definition.  ``nwarm`` (= cfg.n_step) is the
+    number of warm-up steps before the first learn (the kernel's
+    >= n_step + 1 stored-rounds gate)."""
     p, tp, m, v = out36[0:8], out36[8:16], out36[16:24], out36[24:32]
     eps, teps = out36[32:34], out36[34:36]
     steps = carry["steps"] + num_steps
-    warmup_left = 0 if carry["warm"] else max(1 - carry["steps"], 0)
+    warmup_left = 0 if carry["warm"] else max(nwarm - carry["steps"], 0)
     return {
         **carry,
         "p": tuple(p), "tp": tuple(tp), "m": tuple(m), "v": tuple(v),
         "eps": tuple(eps), "teps": tuple(teps),
         "env": env, "ring": ring,
-        "warm": 1 if steps >= 1 else 0,
+        "warm": 1 if steps >= nwarm else 0,
         "steps": steps,
         "learns": carry["learns"] + max(num_steps - warmup_left, 0),
         "env_steps": carry["env_steps"] + num_steps * carry["n"],
@@ -714,14 +986,20 @@ def apply_rainbow_chunk(carry, out36, env, ring, num_steps, met_sum, loss):
 
 
 def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
-                        greedy=False, rounds=None, cols=None):
+                        greedy=False, rounds=None, cols=None, us=None):
     """Run ``num_steps`` Rainbow training steps in ONE kernel launch.
 
     ``rounds`` (i32 [num_steps], default host-drawn from ``seed``): the
-    per-step uniform round draw, each within the ring's filled prefix at
-    that step; ``cols`` likewise draws the lane window when
-    ``learn_batch < num_envs``.  ``greedy=True`` freezes the noise and
-    skips the PRNG (module docstring) -- the e2e determinism mode.
+    per-step uniform round draw (an n-step START position when
+    cfg.n_step > 1), each within the ring's valid prefix at that step;
+    ``cols`` likewise draws the lane window when
+    ``learn_batch < num_envs``.  With ``cfg.per`` the kernel samples
+    on-chip from the ring's priorities instead and consumes ``us``
+    (f32 [num_steps] in [0, 1), default host-drawn from ``seed``) as
+    the per-step stratified-uniform offset.  ``greedy=True`` freezes
+    the noise and skips the PRNG (module docstring) -- the e2e
+    determinism mode (PER stays fully deterministic under it: its
+    draws come from ``us``, not the on-chip PRNG).
     """
     R, n = carry["R"], carry["n"]
     B = carry.get("B", n)
@@ -730,35 +1008,46 @@ def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
                          "zero-iteration grid would skip the state copy "
                          "and return uninitialized outputs)")
     if rounds is None:
-        u = jax.random.uniform(jax.random.key(seed ^ 0x51C),
-                               (num_steps,), jnp.float32)
-        fill = fill_schedule(carry, num_steps)
-        rounds = jnp.floor(u * fill.astype(jnp.float32)).astype(jnp.int32)
-        rounds = jnp.minimum(rounds, fill - 1)
+        rounds = draw_start_rounds(carry, num_steps,
+                                   jax.random.key(seed ^ 0x51C), cfg.n_step)
     if cols is None:
+        hi = 1 if cfg.per else n // B
         cols = jax.random.randint(jax.random.key(seed ^ 0xC01), (num_steps,),
-                                  0, n // B, jnp.int32)
+                                  0, hi, jnp.int32)
+    if us is None:
+        us = (jax.random.uniform(jax.random.key(seed ^ 0xBE7),
+                                 (num_steps,), jnp.float32)
+              if cfg.per else jnp.zeros((num_steps,), jnp.float32))
     rounds = jnp.asarray(rounds, jnp.int32)
     cols = jnp.asarray(cols, jnp.int32)
-    if rounds.shape != (num_steps,) or cols.shape != (num_steps,):
-        raise ValueError("rounds/cols must be i32 [num_steps]")
+    us = jnp.asarray(us, jnp.float32)
+    if (rounds.shape != (num_steps,) or cols.shape != (num_steps,)
+            or us.shape != (num_steps,)):
+        raise ValueError("rounds/cols must be i32 [num_steps] and us "
+                         "f32 [num_steps]")
     rnp, cnp = np.asarray(rounds), np.asarray(cols)
+    col_hi = 1 if cfg.per else n // B
     if (rnp.min() < 0 or rnp.max() >= R
-            or cnp.min() < 0 or cnp.max() >= n // B):
+            or cnp.min() < 0 or cnp.max() >= col_hi):
         raise ValueError(f"rounds must lie in [0, {R}) and cols in "
-                         f"[0, {n // B}) (out-of-range values would clamp "
+                         f"[0, {col_hi}) (out-of-range values would clamp "
                          "to the buffer edge and silently train on the "
                          "wrong slab)")
+    unp = np.asarray(us)
+    if unp.min() < 0.0 or unp.max() >= 1.0:
+        raise ValueError("us must lie in [0, 1)")
     if env_params.random_start and greedy:
         raise ValueError("random starts need the on-chip PRNG, which "
                          "greedy mode skips; drop one of the two")
     cfgv = jnp.asarray([seed, env_params.max_steps, carry["warm"],
-                        carry["learns"], carry["steps"] % R], jnp.int32)
+                        carry["learns"], carry["steps"] % R,
+                        min(carry["steps"], R)], jnp.int32)
     arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
               + list(carry["v"]) + list(carry["eps"]) + list(carry["teps"])
               + list(carry["opp"]) + [carry["env"], carry["ring"]])
     has_eps = cfg.epsilon is not None
-    out = _call(cfgv, rewards_cfg(env_params), rounds, cols, tuple(arrays),
+    out = _call(cfgv, rewards_cfg(env_params), rounds, cols, us,
+                tuple(arrays),
                 num_steps, n, R, B, cfg.opponent, int(cfg.opponent_roll),
                 _phi(cfg.epsilon) if has_eps else 1.0, has_eps,
                 float(cfg.gamma), float(cfg.lr),
@@ -766,11 +1055,14 @@ def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
                 None if cfg.obs_scale is None else float(cfg.obs_scale),
                 bool(cfg.faithful_c51), bool(greedy),
                 random_start=bool(env_params.random_start),
+                per=bool(cfg.per), n_step=int(cfg.n_step),
+                alpha=float(cfg.per_alpha), beta=float(cfg.per_beta),
                 interpret=_interpret_flag())
     met = np.asarray(out[38]).sum(axis=1)
     return apply_rainbow_chunk(carry, out[0:36], out[36], out[37],
                                num_steps, met,
-                               float(np.asarray(out[39])[0, 0]))
+                               float(np.asarray(out[39])[0, 0]),
+                               nwarm=int(cfg.n_step))
 
 
 def coerce_rainbow_carry(carry):
@@ -785,5 +1077,10 @@ def coerce_rainbow_carry(carry):
     for k in ("p", "tp", "m", "v", "eps", "teps", "opp"):
         out[k] = tuple(jnp.asarray(a, jnp.float32) for a in out[k])
     out["env"] = jnp.asarray(out["env"], jnp.float32)
+    if out["env"].shape[0] == ENV_ROWS - 1:
+        # Pre-PER checkpoint (13 env rows): append the max-priority row
+        # at its init value 1.0 -- inert for uniform runs.
+        out["env"] = jnp.concatenate(
+            [out["env"], jnp.ones((1, out["env"].shape[1]), jnp.float32)])
     out["ring"] = jnp.asarray(out["ring"], jnp.float32)
     return out

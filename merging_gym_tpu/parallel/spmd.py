@@ -835,6 +835,7 @@ def _fused_rainbow_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
                            has_eps: bool, gamma: float, lr: float,
                            sync_eps: float, obs_scale, faithful: bool,
                            greedy: bool, random_start: bool,
+                           per: bool, n_step: int, alpha: float, beta: float,
                            interpret: bool):
     """Jitted shard_map for one fused-Rainbow config (cf.
     _fused_dqn_sharded): per-chunk seed and counters are traced so chunk
@@ -842,7 +843,11 @@ def _fused_rainbow_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
     a PER-DEVICE decision driven entirely by the kernel's own on-chip
     per-lane episode counters (env row 12) -- coherent local cadence,
     consistent with the local-SGD design where learner state may
-    diverge between chunk-boundary pmeans."""
+    diverge between chunk-boundary pmeans.  With ``per``, each device
+    samples its own ring shard's priorities (an independent local PER
+    buffer, like the XLA spmd_rainbow path's per-device buffers) and the
+    running max priority is pmax'd at the chunk boundary so new-write
+    priorities stay globally consistent (cf. rainbow.py:294-298)."""
     from merging_gym_tpu.ops import fused_rainbow as FRB
 
     ndev = mesh.shape["data"]
@@ -851,22 +856,31 @@ def _fused_rainbow_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
                    env, ring):
         # ``rounds`` is this device's shard of the host-drawn stream (the
         # in_spec P("data") splits the [ndev*num_steps] vector); the lane
-        # window is drawn per device from the shared chunk key.
+        # window and the PER stratified offsets are drawn per device from
+        # the shared chunk key.
         idx = jax.lax.axis_index("data")
         dev_seed = _dev_seed_block(scal[0], idx, ndev, num_steps)
         kc = jax.random.fold_in(jax.random.key(scal[0] ^ 0xC01), idx)
-        cols = jax.random.randint(kc, (num_steps,), 0, n_local // B,
-                                  jnp.int32)
-        cfgv = jnp.stack([dev_seed, scal[1], scal[2], scal[3], scal[4]])
+        cols = jax.random.randint(kc, (num_steps,), 0,
+                                  1 if per else n_local // B, jnp.int32)
+        ku = jax.random.fold_in(jax.random.key(scal[0] ^ 0xBE7), idx)
+        us = (jax.random.uniform(ku, (num_steps,), jnp.float32)
+              if per else jnp.zeros((num_steps,), jnp.float32))
+        cfgv = jnp.stack([dev_seed, scal[1], scal[2], scal[3], scal[4],
+                          scal[5]])
         arrays = tuple(list(p) + list(tp) + list(m) + list(v) + list(eps)
                        + list(teps) + list(opp_p) + [env, ring])
-        out = FRB._call(cfgv, rewards, rounds, cols, arrays, num_steps,
+        out = FRB._call(cfgv, rewards, rounds, cols, us, arrays, num_steps,
                         n_local, R, B, opp, roll, p_greedy, has_eps, gamma,
                         lr, sync_eps, obs_scale, faithful, greedy,
-                        random_start=random_start, interpret=interpret)
+                        random_start=random_start, per=per, n_step=n_step,
+                        alpha=alpha, beta=beta, interpret=interpret)
         po, tpo, mo, vo = out[0:8], out[8:16], out[16:24], out[24:32]
         eps_o, teps_o = out[32:34], out[34:36]
         env_o, ring_o, met_o, loss_o = out[36], out[37], out[38], out[39]
+        if per:
+            # Chunk-boundary global running max (rainbow.py:294-298).
+            env_o = env_o.at[13].set(jax.lax.pmax(env_o[13], "data"))
         avg = lambda t: tuple(jax.lax.pmean(a, "data") for a in t)
         met = jax.lax.psum(jnp.sum(met_o, axis=1), "data")
         return (avg(po), avg(tpo), avg(mo), avg(vo), eps_o, teps_o,
@@ -904,17 +918,17 @@ def spmd_fused_rainbow_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
         float(cfg.target_sync_episodes),
         None if cfg.obs_scale is None else float(cfg.obs_scale),
         bool(cfg.faithful_c51), bool(greedy),
-        bool(env_params.random_start), FT._interpret_flag())
-    # Per-device round draws within the (shared) filled prefix; devices
+        bool(env_params.random_start), bool(cfg.per), int(cfg.n_step),
+        float(cfg.per_alpha), float(cfg.per_beta), FT._interpret_flag())
+    # Per-device round draws within the (shared) valid prefix; devices
     # write their rings in lockstep so the fill schedule is global.
-    fill = FRB.fill_schedule(carry, num_steps)
     ks = jax.random.split(jax.random.key(seed ^ 0x51C), ndev)
-    u = jnp.stack([jax.random.uniform(k, (num_steps,)) for k in ks])
-    rounds_all = jnp.minimum(
-        jnp.floor(u * fill[None, :].astype(jnp.float32)).astype(jnp.int32),
-        fill[None, :] - 1).reshape(-1)
+    rounds_all = jnp.stack(
+        [FRB.draw_start_rounds(carry, num_steps, k, int(cfg.n_step))
+         for k in ks]).reshape(-1)
     scal = jnp.asarray([seed, env_params.max_steps, carry["warm"],
-                        carry["learns"], carry["steps"] % R], jnp.int32)
+                        carry["learns"], carry["steps"] % R,
+                        min(carry["steps"], R)], jnp.int32)
     out = fn(scal, FT.rewards_cfg(env_params), rounds_all, carry["p"],
              carry["tp"], carry["m"], carry["v"], tuple(carry["eps"]),
              tuple(carry["teps"]), carry["opp"], carry["env"],
@@ -924,4 +938,5 @@ def spmd_fused_rainbow_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
     met = np.asarray(met)
     return FRB.apply_rainbow_chunk(
         carry, tuple(p) + tuple(tp) + tuple(m) + tuple(v) + tuple(eps)
-        + tuple(teps), env, ring, num_steps, met, float(np.asarray(loss)))
+        + tuple(teps), env, ring, num_steps, met, float(np.asarray(loss)),
+        nwarm=int(cfg.n_step))

@@ -183,11 +183,10 @@ def test_rainbow_one_device_mesh_equals_single_chip():
 
     dist = spmd_fused_rainbow_chunk(mesh, cfg, ep, dist, T, seed,
                                     greedy=True)
-    # Reproduce the spmd wrapper's device-0 round stream.
-    fill = np.minimum(np.arange(T) + 1, 2).astype(np.float32)
+    # Reproduce the spmd wrapper's device-0 round stream (the shared
+    # draw: FRB.draw_start_rounds on the per-device split key).
     k0 = jax.random.split(jax.random.key(seed ^ 0x51C), 1)[0]
-    u = np.asarray(jax.random.uniform(k0, (T,)))
-    rounds = np.minimum(np.floor(u * fill), fill - 1).astype(np.int32)
+    rounds = np.asarray(FRB.draw_start_rounds(solo, T, k0, 1))
     solo = FRB.fused_rainbow_chunk(cfg, ep, solo, T, seed=seed * T,
                                    greedy=True, rounds=rounds)
 
@@ -226,3 +225,76 @@ def test_rainbow_eight_device_local_sgd(devices8):
     assert np.isfinite(carry["last_loss"])
     assert any(bool(jnp.any(a != b)) for a, b in zip(p0, carry["p"]))
     assert carry["ring"].shape == (2 * FT.NUM_F, n)
+
+
+def test_rainbow_per_nstep_one_device_mesh_equals_single_chip():
+    """PER + 3-step through the SPMD wrapper: a 1-device mesh matches
+    the single-chip kernel bit-for-bit (same us/priority streams)."""
+    from merging_gym_tpu.agents.rainbow import RainbowConfig
+    from merging_gym_tpu.ops import fused_rainbow as FRB
+    from merging_gym_tpu.parallel.spmd import (spmd_fused_rainbow_chunk,
+                                               spmd_fused_rainbow_init)
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    n, T, seed = 128, 10, 17
+    cfg = RainbowConfig(lr=1e-3, target_sync_episodes=3,
+                        memory_capacity=5 * n, obs_scale=0.01,
+                        opponent=FT.OPP_SELFPLAY, per=True, n_step=3,
+                        batch_size=32)
+    ep = EnvParams(max_steps=15)
+
+    dist = spmd_fused_rainbow_init(jax.random.key(0), cfg, ep, n, mesh)
+    solo = FRB.fused_rainbow_init(jax.random.key(0), cfg, ep, n)
+    solo["eps"], solo["teps"] = tuple(dist["eps"]), tuple(dist["teps"])
+
+    dist = spmd_fused_rainbow_chunk(mesh, cfg, ep, dist, T, seed,
+                                    greedy=True)
+    # Reproduce the wrapper's device-0 us stream.
+    ku = jax.random.fold_in(jax.random.key(seed ^ 0xBE7), 0)
+    us = jax.random.uniform(ku, (T,), jnp.float32)
+    solo = FRB.fused_rainbow_chunk(cfg, ep, solo, T, seed=seed * T,
+                                   greedy=True,
+                                   rounds=np.zeros(T, np.int32), us=us)
+
+    for k in ("p", "tp", "m", "v", "eps", "teps"):
+        for a, b in zip(dist[k], solo[k]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), k)
+    np.testing.assert_array_equal(np.asarray(dist["env"]),
+                                  np.asarray(solo["env"]))
+    np.testing.assert_array_equal(np.asarray(dist["ring"]),
+                                  np.asarray(solo["ring"]))
+    for k in ("learns", "steps", "env_steps", "episodes", "last_loss"):
+        assert dist[k] == solo[k], k
+
+
+def test_rainbow_per_eight_device_local_sgd(devices8):
+    """PER + 3-step over 8 devices: per-device local PER buffers
+    (lane-sharded ring priorities), pmax'd running max, params move."""
+    from merging_gym_tpu.agents.rainbow import RainbowConfig
+    from merging_gym_tpu.parallel.spmd import (spmd_fused_rainbow_chunk,
+                                               spmd_fused_rainbow_init)
+
+    mesh = Mesh(np.asarray(devices8), ("data",))
+    n, T = 8 * 128, 6
+    cfg = RainbowConfig(lr=1e-3, target_sync_episodes=5,
+                        memory_capacity=5 * n, obs_scale=0.01,
+                        opponent=FT.OPP_L0, per=True, n_step=3,
+                        batch_size=32)
+    ep = EnvParams(max_steps=15)
+    carry = spmd_fused_rainbow_init(jax.random.key(1), cfg, ep, n, mesh)
+    p0 = carry["p"]
+    carry = spmd_fused_rainbow_chunk(mesh, cfg, ep, carry, T, seed=4,
+                                     greedy=True)
+    carry = spmd_fused_rainbow_chunk(mesh, cfg, ep, carry, T, seed=5,
+                                     greedy=True)
+    assert carry["env_steps"] == 2 * T * n
+    assert np.isfinite(carry["last_loss"])
+    assert any(bool(jnp.any(a != b)) for a, b in zip(p0, carry["p"]))
+    env = np.asarray(carry["env"])
+    # The running max is globally replicated (chunk-boundary pmax) and
+    # has moved off its init.
+    assert np.unique(env[13]).size == 1 and env[13][0] > 1.0
+    # Ring pad rows now carry priorities (some updated away from init).
+    ring = np.asarray(carry["ring"])
+    pri = ring[FT.NUM_F - 1::FT.NUM_F]
+    assert (pri > 0).any()
