@@ -186,15 +186,19 @@ def bench_hdqn_fused(num_envs, steps, chunks, learn_batch=None):
             num_envs * steps * chunks / dt, "env-steps/s")
 
 
-def bench_rainbow_fused(num_envs, steps, chunks, learn_batch=None):
-    """Single-kernel Rainbow trainer (ops.fused_rainbow)."""
+def bench_rainbow_fused(num_envs, steps, chunks, learn_batch=None,
+                        per=False, n_step=1):
+    """Single-kernel Rainbow trainer (ops.fused_rainbow); ``per``/
+    ``n_step`` exercise the on-chip prioritised sampling + sample-time
+    n-step reconstruction paths (round 3)."""
     from merging_gym_tpu.agents import dqn as D
     from merging_gym_tpu.agents.rainbow import RainbowConfig
     from merging_gym_tpu.core.env import EnvParams
     from merging_gym_tpu.ops import fused_rainbow as FRB
 
     cfg = RainbowConfig(memory_capacity=8 * num_envs, obs_scale=0.01,
-                        opponent=D.OPP_SELFPLAY)
+                        opponent=D.OPP_SELFPLAY, per=per, n_step=n_step,
+                        batch_size=learn_batch or 128)
     env_params = EnvParams()
     carry = FRB.fused_rainbow_init(jax.random.key(0), cfg, env_params,
                                    num_envs, learn_batch=learn_batch)
@@ -207,6 +211,10 @@ def bench_rainbow_fused(num_envs, steps, chunks, learn_batch=None):
         float(jnp.sum(carry["p"][0])); float(jnp.sum(carry["env"]))
     dt = time.perf_counter() - t0
     tag = f"-b{learn_batch}" if learn_batch else ""
+    if per:
+        tag += f"-per{n_step}step"
+    elif n_step != 1:
+        tag += f"-{n_step}step"
     _report(f"rainbow-train-fused-{num_envs}{tag}",
             num_envs * steps * chunks / dt, "env-steps/s")
 
@@ -323,9 +331,14 @@ def main():
     if jax.default_backend() == "tpu":  # in-kernel PRNG needs real hardware
         bench_hdqn_fused(1024, 512 if q else 2000, 2 if q else 5)
         bench_rainbow_fused(1024, 512 if q else 2000, 2 if q else 5)
+        bench_rainbow_fused(1024, 512 if q else 2000, 2 if q else 5,
+                            learn_batch=128, per=True, n_step=3)
         if not q:
             bench_hdqn_fused(4096, 8192, 3, learn_batch=128)
             bench_rainbow_fused(4096, 8192, 3, learn_batch=128)
+            bench_rainbow_fused(4096, 4096, 3, learn_batch=128,
+                                per=True, n_step=3)
+            bench_rainbow_fused(4096, 8192, 3, learn_batch=128, n_step=3)
     bench_native_serial(20000 if q else 200000)
     bench_oracle_serial(5000 if q else 20000)
 
