@@ -69,6 +69,10 @@ def _train_args(p):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="run directory (default: reference-style name)")
     p.add_argument("--per", action="store_true", help="prioritised replay (rainbow)")
+    p.add_argument("--per-alpha", type=float, default=0.6,
+                   help="PER priority exponent (ranbowdqn.py:344)")
+    p.add_argument("--per-beta", type=float, default=0.4,
+                   help="PER importance-weight exponent")
     p.add_argument("--n-step", type=int, default=1, help="n-step returns (rainbow)")
     p.add_argument("--gamma", type=float, default=None,
                    help="discount (dqn/hdqn default 0.90 main.py:15; "
@@ -335,7 +339,8 @@ def cmd_train(args):
                              "(rainbow supports --learn-batch)")
         mode, opp = _opponent_mode(args)
         cfg = R.RainbowConfig(
-            opponent=mode, per=args.per, n_step=args.n_step,
+            opponent=mode, per=args.per, per_alpha=args.per_alpha,
+            per_beta=args.per_beta, n_step=args.n_step,
             memory_capacity=args.memory_capacity or 8 * args.num_envs,
             gamma=args.gamma if args.gamma is not None else 0.99,
             epsilon=args.epsilon, obs_scale=args.obs_scale,
@@ -429,7 +434,8 @@ def cmd_train(args):
         cfg = R.RainbowConfig(
             memory_capacity=args.memory_capacity or 10000,
             batch_size=args.batch_size or 32, lr=args.lr or 1e-3,
-            per=args.per, n_step=args.n_step, opponent=mode,
+            per=args.per, per_alpha=args.per_alpha, per_beta=args.per_beta,
+            n_step=args.n_step, opponent=mode,
             gamma=args.gamma if args.gamma is not None else 0.99,
             epsilon=args.epsilon, obs_scale=args.obs_scale)
         carry = R.rainbow_train_init(key, cfg, env_params, args.num_envs, opp)
