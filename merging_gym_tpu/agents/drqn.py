@@ -13,7 +13,13 @@ working TPU-native version SURVEY.md section 5 prescribes.  Design:
   prefix, and masks timesteps past the first in-window episode end;
 * hyper-parameters default to the flat DQN's (Adam 0.01, gamma 0.90,
   target sync every 100 learns, Phi(0.7)-greedy) so DRQN slots into the
-  same level-k curriculum.
+  same level-k curriculum;
+* opponent modes mirror the flat DQN's (main.py:161-168 Strategy_OP):
+  ``L0`` (the action2=None constant-velocity opponent), ``selfplay``
+  (the live recurrent net acting on the half-swapped obs with its OWN
+  per-env LSTM state), and ``frozen`` (a frozen DRQN checkpoint, also
+  with its own recurrent state).  Both seats' hidden states zero on
+  episode reset.
 """
 
 from __future__ import annotations
@@ -49,6 +55,10 @@ class DRQNConfig:
     num_actions: int = struct.field(pytree_node=False, default=C.NUM_ACTIONS)
     seq_len: int = struct.field(pytree_node=False, default=16)
     burn_in: int = struct.field(pytree_node=False, default=4)
+    opponent: str = struct.field(pytree_node=False, default=D.OPP_L0)
+    # Set by parallel.spmd for data-parallel training: pmean'd gradients,
+    # globally agreed learn gate, psum'd metric increments.
+    pmean_axis: str | None = struct.field(pytree_node=False, default=None)
 
 
 @struct.dataclass
@@ -57,6 +67,9 @@ class DRQNCarry:
     obs: jax.Array
     lstm_h: jax.Array          # f[envs, hidden]
     lstm_c: jax.Array
+    lstm_h2: jax.Array         # opponent seat's recurrent state (zeros
+    lstm_c2: jax.Array         # and unused under the L0 opponent)
+    opp_params: Any            # frozen opponent params (None unless OPP_FROZEN)
     window: Any                # accumulating {obs[L+1], action[L], reward[L], done[L]}
     window_len: jax.Array      # i32[envs]
     ep_reward: jax.Array
@@ -81,7 +94,11 @@ def _window_example(cfg: DRQNConfig):
 
 
 def drqn_train_init(key, cfg: DRQNConfig, env_params: EnvParams,
-                    num_envs: int) -> DRQNCarry:
+                    num_envs: int, opp_params: Any = None) -> DRQNCarry:
+    if cfg.opponent == D.OPP_FROZEN:
+        assert opp_params is not None, "frozen opponent needs params"
+    else:
+        assert opp_params is None, f"opponent={cfg.opponent!r} takes no params"
     k_env, k_net, k_tnet, k_run = jax.random.split(key, 4)
     env_state = reset_batch(env_params, k_env, num_envs)
     obs = jax.vmap(core_env.observe)(env_state)
@@ -97,8 +114,10 @@ def drqn_train_init(key, cfg: DRQNConfig, env_params: EnvParams,
     window = jax.tree.map(lambda x: x, window)
     window["obs"] = window["obs"].at[:, 0].set(obs.astype(jnp.float32))
     h, c = lstm_zero_carry((num_envs,))
+    h2, c2 = lstm_zero_carry((num_envs,))
     return DRQNCarry(
         env_state=env_state, obs=obs, lstm_h=h, lstm_c=c,
+        lstm_h2=h2, lstm_c2=c2, opp_params=opp_params,
         window=window, window_len=jnp.zeros((num_envs,), jnp.int32),
         ep_reward=jnp.zeros((num_envs,), jnp.float32),
         params=params, target_params=target_params,
@@ -146,7 +165,7 @@ def drqn_loss(params, target_params, batch, cfg: DRQNConfig):
 
 def drqn_train_step(cfg: DRQNConfig, env_params: EnvParams,
                     carry: DRQNCarry, _):
-    key, k_act, k_reset, k_sample = jax.random.split(carry.key, 4)
+    key, k_act, k_act2, k_reset, k_sample = jax.random.split(carry.key, 5)
     obs = carry.obs
     n = obs.shape[0]
 
@@ -154,15 +173,30 @@ def drqn_train_step(cfg: DRQNConfig, env_params: EnvParams,
     q, (h, c) = drqn_step(carry.params, obs, (carry.lstm_h, carry.lstm_c))
     a1 = jax.vmap(eps_greedy_from_q, in_axes=(0, 0, None, None))(
         q, jax.random.split(k_act, n), cfg.epsilon, cfg.num_actions)
-    actions = jnp.stack([a1, jnp.full((n,), C.ACTION_NONE, jnp.int32)], -1)
+
+    # Opponent seat (main.py:161-168 modes, recurrent analog): selfplay
+    # and frozen run a second LSTM step on the half-swapped obs
+    # (main.py:199) with the opponent's OWN hidden state.
+    h2, c2 = carry.lstm_h2, carry.lstm_c2
+    if cfg.opponent == D.OPP_L0:
+        a2 = jnp.full((n,), C.ACTION_NONE, jnp.int32)
+    else:
+        opp = (carry.params if cfg.opponent == D.OPP_SELFPLAY
+               else carry.opp_params)
+        q2, (h2, c2) = drqn_step(opp, core_env.swap_obs(obs), (h2, c2))
+        a2 = jax.vmap(eps_greedy_from_q, in_axes=(0, 0, None, None))(
+            q2, jax.random.split(k_act2, n), cfg.epsilon, cfg.num_actions)
+    actions = jnp.stack([a1, a2], -1)
     env_state, ts = autoreset_step(env_params, carry.env_state, actions, k_reset)
     next_obs = observe_after_reset(env_params, env_state, ts)
 
     # Zero hidden state where the episode reset (recurrent state must not
-    # leak across episodes).
+    # leak across episodes) -- both seats.
     done_col = ts.done[:, None]
     h = jnp.where(done_col, 0.0, h)
     c = jnp.where(done_col, 0.0, c)
+    h2 = jnp.where(done_col, 0.0, h2)
+    c2 = jnp.where(done_col, 0.0, c2)
 
     # Window accumulation.
     L = cfg.seq_len
@@ -199,11 +233,22 @@ def drqn_train_step(cfg: DRQNConfig, env_params: EnvParams,
         batch, _ = rp.sample_valid(replay, k_sample, cfg.batch_size)
         loss, grads = jax.value_and_grad(drqn_loss)(
             params, target_params, batch, cfg)
+        if cfg.pmean_axis is not None:
+            # Each device samples its own window batch from its local
+            # ring; the pmean makes the update the global-batch gradient
+            # and keeps params bitwise-replicated.
+            grads = jax.lax.pmean(grads, cfg.pmean_axis)
+            loss = jax.lax.pmean(loss, cfg.pmean_axis)
         updates, opt_state = optax.adam(cfg.lr).update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), target_params,
                 opt_state, cnt + 1, loss.astype(jnp.float32))
 
     can = replay.cursor >= cfg.batch_size
+    if cfg.pmean_axis is not None:
+        # The learn gate must be a GLOBAL decision or devices diverge
+        # around the pmean collective (the SPMD rule every distributed
+        # trainer here follows).
+        can = jax.lax.pmin(can.astype(jnp.int32), cfg.pmean_axis) > 0
     params, target_params, opt_state, cnt, loss = jax.lax.cond(
         can, do_learn,
         lambda op: (op[0], op[1], op[2], op[3], carry.last_loss),
@@ -214,17 +259,22 @@ def drqn_train_step(cfg: DRQNConfig, env_params: EnvParams,
     m = carry.metrics
     done_i = ts.done.astype(m.episodes.dtype)
     won = ts.done & (obs[:, 8] > obs[:, 3])  # pre-final-step obs (main.py:225)
-    metrics = D.Metrics(
-        env_steps=m.env_steps + n,
-        episodes=m.episodes + jnp.sum(done_i),
-        collisions=m.collisions + jnp.sum(ts.collision.astype(done_i.dtype)),
-        wins=m.wins + jnp.sum(won.astype(done_i.dtype)),
-        sum_ep_reward=m.sum_ep_reward + jnp.sum(jnp.where(ts.done, ep_reward, 0.0)),
+    inc = D.Metrics(
+        env_steps=jnp.asarray(n, m.env_steps.dtype),
+        episodes=jnp.sum(done_i),
+        collisions=jnp.sum(ts.collision.astype(done_i.dtype)),
+        wins=jnp.sum(won.astype(done_i.dtype)),
+        sum_ep_reward=jnp.sum(jnp.where(ts.done, ep_reward, 0.0)),
     )
+    if cfg.pmean_axis is not None:
+        # psum the per-step increments so the counters stay replicated.
+        inc = jax.tree.map(lambda x: jax.lax.psum(x, cfg.pmean_axis), inc)
+    metrics = jax.tree.map(jnp.add, m, inc)
     ep_reward = jnp.where(ts.done, 0.0, ep_reward)
 
     out = DRQNCarry(
         env_state=env_state, obs=next_obs, lstm_h=h, lstm_c=c,
+        lstm_h2=h2, lstm_c2=c2, opp_params=carry.opp_params,
         window=w, window_len=wl, ep_reward=ep_reward,
         params=params, target_params=target_params, opt_state=opt_state,
         learn_counter=cnt, last_loss=loss, replay=replay, key=key,

@@ -20,9 +20,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from merging_gym_tpu.agents.policies import Policy, two_player
-from merging_gym_tpu.core.env import EnvParams
-from merging_gym_tpu.core.vector import reset_batch, rollout
+from merging_gym_tpu.agents.policies import (EPSILON, Policy,
+                                             eps_greedy_from_q, l0_policy,
+                                             two_player)
+from merging_gym_tpu.core import env as core_env
+from merging_gym_tpu.core.env import EnvParams, swap_obs
+from merging_gym_tpu.core.vector import (autoreset_step, observe_after_reset,
+                                         reset_batch, rollout)
 
 
 def evaluate(policy1: Policy, policy2: Policy, env_params: EnvParams,
@@ -40,9 +44,6 @@ def evaluate(policy1: Policy, policy2: Policy, env_params: EnvParams,
     k_env, key = jax.random.split(key)
     state = reset_batch(env_params, k_env, num_envs)
 
-    def run(s, ps, k):
-        return _run_chunk(env_params, s, policy_fn, ps, k, chunk_steps)
-
     counts = {"episodes": 0, "p1_first": 0, "p2_first": 0,
               "collisions": 0, "timeouts": 0}
     ret_sums = np.zeros(2)
@@ -50,25 +51,35 @@ def evaluate(policy1: Policy, policy2: Policy, env_params: EnvParams,
 
     for i in range(max_chunks):
         key, k = jax.random.split(key)
-        (state, pstate), traj = run(state, pstate, k)
-        done = np.asarray(traj.done)
-        rewards = np.asarray(traj.rewards)
-        winner = np.asarray(traj.winner)
-        collision = np.asarray(traj.collision)
-        for t in range(done.shape[0]):
-            ep_r += rewards[t]
-            d = done[t]
-            if d.any():
-                counts["episodes"] += int(d.sum())
-                counts["p1_first"] += int((d & (winner[t] == 1)).sum())
-                counts["p2_first"] += int((d & (winner[t] == 2)).sum())
-                counts["collisions"] += int((d & collision[t]).sum())
-                counts["timeouts"] += int((d & (winner[t] == 0) & ~collision[t]).sum())
-                ret_sums += ep_r[d].sum(axis=0)
-                ep_r[d] = 0.0
+        (state, pstate), traj = _run_chunk(env_params, state, policy_fn,
+                                           pstate, k, chunk_steps)
+        _accumulate(counts, ret_sums, ep_r, traj)
         if counts["episodes"] >= min_episodes:
             break
 
+    return _finalize(counts, ret_sums)
+
+
+def _accumulate(counts, ret_sums, ep_r, traj):
+    """Fold one chunk's trajectory into the running outcome counters."""
+    done = np.asarray(traj.done)
+    rewards = np.asarray(traj.rewards)
+    winner = np.asarray(traj.winner)
+    collision = np.asarray(traj.collision)
+    for t in range(done.shape[0]):
+        ep_r += rewards[t]
+        d = done[t]
+        if d.any():
+            counts["episodes"] += int(d.sum())
+            counts["p1_first"] += int((d & (winner[t] == 1)).sum())
+            counts["p2_first"] += int((d & (winner[t] == 2)).sum())
+            counts["collisions"] += int((d & collision[t]).sum())
+            counts["timeouts"] += int((d & (winner[t] == 0) & ~collision[t]).sum())
+            ret_sums += ep_r[d].sum(axis=0)
+            ep_r[d] = 0.0
+
+
+def _finalize(counts, ret_sums):
     eps = max(counts["episodes"], 1)
     return {
         **counts,
@@ -153,3 +164,94 @@ def evaluate_fused(params1, params2=None, env_params: EnvParams = None,
         "mean_return_p1": float(ret_sums[0]) / eps,
         "mean_return_p2": float(ret_sums[1]) / eps,
     }
+
+
+def evaluate_drqn(params1, policy2: Policy | None = None,
+                  env_params: EnvParams | None = None,
+                  key: jax.Array | None = None, num_envs: int = 256,
+                  min_episodes: int = 512, chunk_steps: int = 512,
+                  max_chunks: int = 64, greedy: bool = False,
+                  epsilon: float = EPSILON,
+                  drqn_params2=None) -> dict:
+    """:func:`evaluate` for the recurrent family.
+
+    Seat 1 is a DRQN net (``nn.lstm.drqn_init`` params) whose per-env
+    LSTM state is carried across steps and zeroed on episode reset --
+    state the stateless :class:`Policy` protocol cannot express, so the
+    recurrent rollout lives here rather than in ``two_player``.  Seat 2
+    is any stateless :class:`Policy` (default L0, the reference's
+    ``action2=None`` opponent, merging_env.py:152) or -- with
+    ``drqn_params2`` -- a second DRQN with its own recurrent state, on
+    the half-swapped obs (main.py:199).  Returns the same outcome dict
+    as :func:`evaluate`.
+    """
+    from merging_gym_tpu.nn.lstm import lstm_zero_carry
+
+    env_params = env_params or EnvParams()
+    key = key if key is not None else jax.random.key(0)
+    opp_recurrent = drqn_params2 is not None
+    if policy2 is None:
+        policy2 = l0_policy()
+    assert not (opp_recurrent and policy2.params is not None), \
+        "pass either a stateless policy2 or drqn_params2, not both"
+
+    k_env, key = jax.random.split(key)
+    state = reset_batch(env_params, k_env, num_envs)
+    obs = jax.vmap(core_env.observe)(state)
+    h1, c1 = lstm_zero_carry((num_envs,))
+    h2, c2 = lstm_zero_carry((num_envs,))
+    p2 = drqn_params2 if opp_recurrent else policy2.params
+
+    counts = {"episodes": 0, "p1_first": 0, "p2_first": 0,
+              "collisions": 0, "timeouts": 0}
+    ret_sums = np.zeros(2)
+    ep_r = np.zeros((num_envs, 2))
+
+    for i in range(max_chunks):
+        key, k = jax.random.split(key)
+        carry = (state, obs, h1, c1, h2, c2)
+        carry, traj = _run_chunk_drqn(
+            env_params, carry, params1, p2, k, policy2.act, opp_recurrent,
+            greedy, epsilon, chunk_steps)
+        state, obs, h1, c1, h2, c2 = carry
+        _accumulate(counts, ret_sums, ep_r, traj)
+        if counts["episodes"] >= min_episodes:
+            break
+
+    return _finalize(counts, ret_sums)
+
+
+@functools.partial(jax.jit, static_argnames=("act2", "opp_recurrent",
+                                             "greedy", "epsilon",
+                                             "chunk_steps"))
+def _run_chunk_drqn(env_params, carry, params1, p2, key, act2,
+                    opp_recurrent, greedy, epsilon, chunk_steps):
+    from merging_gym_tpu.nn.lstm import drqn_step
+
+    def act_recurrent(params, obs, hc, k):
+        q, hc = drqn_step(params, obs, hc)
+        if greedy:
+            return jnp.argmax(q, axis=-1).astype(jnp.int32), hc
+        a = jax.vmap(eps_greedy_from_q, in_axes=(0, 0, None))(
+            q, jax.random.split(k, obs.shape[0]), epsilon)
+        return a, hc
+
+    def body(carry, k):
+        state, obs, h1, c1, h2, c2 = carry
+        k_a1, k_a2, k_reset = jax.random.split(k, 3)
+        a1, (h1, c1) = act_recurrent(params1, obs, (h1, c1), k_a1)
+        if opp_recurrent:
+            a2, (h2, c2) = act_recurrent(p2, swap_obs(obs), (h2, c2), k_a2)
+        else:
+            a2 = jax.vmap(act2, in_axes=(None, 0, 0))(
+                p2, swap_obs(obs), jax.random.split(k_a2, obs.shape[0]))
+        actions = jnp.stack([a1, a2], axis=-1)
+        state, ts = autoreset_step(env_params, state, actions, k_reset)
+        obs = observe_after_reset(env_params, state, ts)
+        dc = ts.done[:, None]
+        h1, c1 = jnp.where(dc, 0.0, h1), jnp.where(dc, 0.0, c1)
+        h2, c2 = jnp.where(dc, 0.0, h2), jnp.where(dc, 0.0, c2)
+        return (state, obs, h1, c1, h2, c2), ts
+
+    keys = jax.random.split(key, chunk_steps)
+    return jax.lax.scan(body, carry, keys)

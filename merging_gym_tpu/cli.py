@@ -153,6 +153,19 @@ def _load_frozen_hdqn(path, cfg):
     return nets["meta_eval"], nets["lower_eval"]
 
 
+def _load_frozen_drqn(path):
+    """Load a frozen recurrent (DRQN) opponent from a params.npz saved by
+    a ``cli train --algo drqn`` run (nn.lstm.drqn_init layout)."""
+    if path.endswith(".npz"):
+        import jax as _jax
+        from merging_gym_tpu.io.checkpoint import load_params_npz
+        from merging_gym_tpu.nn.lstm import drqn_init
+        like = drqn_init(_jax.random.key(0), 10, 5)
+        return load_params_npz(path, like)
+    raise SystemExit(f"cannot load frozen drqn opponent from {path} "
+                     "(expected a params.npz from a --algo drqn run)")
+
+
 def _opponent_mode(args):
     """The shared opponent-string -> (mode, frozen params) resolution
     (main.py:161-168's Strategy_OP switch), used by every algo branch."""
@@ -420,10 +433,16 @@ def cmd_train(args):
                            "meta_loss": float(c.upper.last_loss)}
     elif args.algo == "drqn":
         from merging_gym_tpu.agents import drqn as DR
+        mode, _ = _opponent_mode(args) if args.opponent in ("L0", "selfplay") \
+            else (D.OPP_FROZEN, None)
         cfg = DR.DRQNConfig(
+            opponent=mode,
             memory_capacity=args.memory_capacity or 512,
-            batch_size=args.batch_size or 32, lr=args.lr or 0.01)
-        carry = DR.drqn_train_init(key, cfg, env_params, args.num_envs)
+            batch_size=args.batch_size or 32, lr=args.lr or 0.01,
+            gamma=args.gamma if args.gamma is not None else 0.90,
+            epsilon=args.epsilon if args.epsilon is not None else 0.7)
+        opp = _load_frozen_drqn(args.opponent) if mode == D.OPP_FROZEN else None
+        carry = DR.drqn_train_init(key, cfg, env_params, args.num_envs, opp)
         step_fn = lambda c: DR.drqn_train_chunk(cfg, env_params, c, args.chunk_steps)
         get_params = lambda c: c.params
         extra = lambda c: {"loss": float(c.last_loss),

@@ -485,6 +485,80 @@ def spmd_hdqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
     return _spmd_hdqn_chunk(cfg, env_params, carry, num_steps, mesh)
 
 
+def drqn_carry_pspecs(carry):
+    from merging_gym_tpu.agents.drqn import DRQNCarry
+
+    batched = P("data")
+    rep = lambda tree: jax.tree.map(lambda _: P(), tree)
+    return DRQNCarry(
+        env_state=jax.tree.map(lambda _: batched, carry.env_state),
+        obs=batched, lstm_h=batched, lstm_c=batched,
+        lstm_h2=batched, lstm_c2=batched,
+        opp_params=rep(carry.opp_params),
+        window=jax.tree.map(lambda _: batched, carry.window),
+        window_len=batched, ep_reward=batched,
+        params=rep(carry.params), target_params=rep(carry.target_params),
+        opt_state=rep(carry.opt_state),
+        learn_counter=P(), last_loss=P(),
+        replay=rp.ReplayState(
+            data=jax.tree.map(lambda _: batched, carry.replay.data),
+            cursor=P("data")),
+        key=P(), metrics=jax.tree.map(lambda _: P(), carry.metrics),
+    )
+
+
+def spmd_drqn_init(key, cfg, env_params: EnvParams, num_envs: int,
+                   mesh: Mesh, opp_params=None):
+    """Sharded recurrent-DQN carry: envs, both seats' LSTM states, the
+    accumulating windows and the sequence ring live on the ``data`` axis
+    (memory capacity is per-device); params/target/moments replicated.
+    """
+    from merging_gym_tpu.agents import drqn as DR
+
+    dp = mesh.shape["data"]
+    assert num_envs % dp == 0
+    assert cfg.pmean_axis == "data", "set DRQNConfig(pmean_axis='data')"
+    carry = DR.drqn_train_init(key, cfg, env_params, num_envs, opp_params)
+    carry = carry.replace(
+        replay=_per_device_cursor(
+            rp.replay_init(cfg.memory_capacity * dp,
+                           DR._window_example(cfg)), dp))
+    specs = drqn_carry_pspecs(carry)
+    shardings = jax.tree.map(
+        lambda s: jax.sharding.NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(carry, shardings)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _spmd_drqn_chunk(cfg, env_params, carry, num_steps, mesh):
+    from merging_gym_tpu.agents import drqn as DR
+
+    specs = drqn_carry_pspecs(carry)
+
+    def per_device(carry):
+        shared_key = carry.key
+        idx = jax.lax.axis_index("data")
+        carry = carry.replace(
+            key=jax.random.fold_in(shared_key, idx),
+            replay=_localize_cursor(carry.replay))
+        carry, _ = jax.lax.scan(
+            partial(DR.drqn_train_step, cfg, env_params), carry,
+            None, length=num_steps)
+        return carry.replace(
+            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)),
+            replay=_globalize_cursor(carry.replay))
+
+    return jax.shard_map(per_device, mesh=mesh, in_specs=(specs,),
+                         out_specs=specs, check_vma=False)(carry)
+
+
+def spmd_drqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
+                    num_steps: int):
+    """Distributed recurrent DQN over the ``data`` axis."""
+    return _spmd_drqn_chunk(cfg, env_params, carry, num_steps, mesh)
+
+
 # ---------------------------------------------------------------------------
 # Distributed single-kernel (Pallas) DQN trainer: local-SGD over the mesh
 # ---------------------------------------------------------------------------

@@ -86,3 +86,64 @@ def test_drqn_end_to_end():
     # windows contain terminal transitions (episodes end within ~45 steps
     # at constant speed vs L0? not guaranteed here, but dones recorded)
     assert not bool(jnp.isnan(carry.lstm_h).any())
+
+
+def test_drqn_selfplay_and_frozen_opponents():
+    from merging_gym_tpu.agents import dqn as D
+    env_params = EnvParams()
+    cfg = DR.DRQNConfig(memory_capacity=32, batch_size=8, seq_len=8,
+                        burn_in=2, opponent=D.OPP_SELFPLAY)
+    carry = DR.drqn_train_init(jax.random.key(6), cfg, env_params, 8)
+    carry = DR.drqn_train_chunk(cfg, env_params, carry, 60)
+    assert int(carry.metrics.env_steps) == 60 * 8
+    assert not bool(jnp.isnan(carry.last_loss))
+    # The opponent seat's recurrent state is live under selfplay.
+    assert bool(jnp.any(carry.lstm_h2 != 0.0))
+
+    frozen = drqn_init(jax.random.key(7), 10, 5)
+    cfg_f = DR.DRQNConfig(memory_capacity=32, batch_size=8, seq_len=8,
+                          burn_in=2, opponent=D.OPP_FROZEN)
+    carry_f = DR.drqn_train_init(jax.random.key(8), cfg_f, env_params, 8,
+                                 opp_params=frozen)
+    carry_f = DR.drqn_train_chunk(cfg_f, env_params, carry_f, 60)
+    assert int(carry_f.metrics.env_steps) == 60 * 8
+    # Frozen opponent params are passed through the scan untouched.
+    for a, b in zip(jax.tree.leaves(carry_f.opp_params),
+                    jax.tree.leaves(frozen)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(AssertionError):
+        DR.drqn_train_init(jax.random.key(9), cfg_f, env_params, 8)
+
+
+def test_drqn_l0_opponent_seat_stays_zero():
+    env_params = EnvParams()
+    cfg = DR.DRQNConfig(memory_capacity=32, batch_size=8, seq_len=8, burn_in=2)
+    carry = DR.drqn_train_init(jax.random.key(10), cfg, env_params, 8)
+    carry = DR.drqn_train_chunk(cfg, env_params, carry, 30)
+    assert not bool(jnp.any(carry.lstm_h2 != 0.0))
+
+
+def test_evaluate_drqn_outcomes():
+    from merging_gym_tpu.agents.evaluate import evaluate_drqn
+    from merging_gym_tpu.agents.policies import random_policy
+    params = drqn_init(jax.random.key(11), 10, 5)
+    res = evaluate_drqn(params, env_params=EnvParams(),
+                        key=jax.random.key(12), num_envs=32,
+                        min_episodes=32, chunk_steps=128, max_chunks=4)
+    assert res["episodes"] >= 32
+    assert (res["p1_first"] + res["p2_first"] + res["collisions"]
+            + res["timeouts"]) == res["episodes"]
+    # vs a stateless policy and vs a second DRQN both run.
+    # An episode needs >= ~225 steps (900 m at ~20 m/s), so give the
+    # cross-policy matchups a few hundred steps.
+    res2 = evaluate_drqn(params, policy2=random_policy(),
+                         env_params=EnvParams(), key=jax.random.key(13),
+                         num_envs=32, min_episodes=16, chunk_steps=256,
+                         max_chunks=4)
+    assert res2["episodes"] > 0
+    res3 = evaluate_drqn(params, drqn_params2=drqn_init(jax.random.key(14),
+                                                        10, 5),
+                         env_params=EnvParams(), key=jax.random.key(15),
+                         num_envs=32, min_episodes=16, chunk_steps=256,
+                         max_chunks=4, greedy=True)
+    assert res3["episodes"] > 0

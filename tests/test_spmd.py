@@ -95,6 +95,27 @@ def test_spmd_rainbow(devices8):
     assert np.isfinite(w).all()
 
 
+def test_spmd_drqn(devices8):
+    from merging_gym_tpu.agents import drqn as DR
+
+    mesh = make_mesh(data=4, model=1, devices=devices8[:4])
+    cfg = DR.DRQNConfig(memory_capacity=16, batch_size=4, seq_len=8,
+                        burn_in=2, opponent=D.OPP_SELFPLAY,
+                        pmean_axis="data")
+    env_params = EnvParams()
+    carry = spmd.spmd_drqn_init(jax.random.key(21), cfg, env_params,
+                                num_envs=16, mesh=mesh)
+    carry = spmd.spmd_drqn_chunk(mesh, cfg, env_params, carry, 40)
+    assert int(carry.metrics.env_steps) == 40 * 16
+    carry = spmd.spmd_drqn_chunk(mesh, cfg, env_params, carry, 40)
+    assert int(carry.metrics.env_steps) == 80 * 16
+    assert int(carry.learn_counter) > 0
+    assert not bool(jnp.isnan(carry.last_loss))
+    # Params must stay bitwise-replicated across the pmean updates.
+    w = np.asarray(jax.device_get(carry.params["lstm"]["w_ih"]))
+    assert np.isfinite(w).all()
+
+
 def test_spmd_hdqn(devices8):
     from merging_gym_tpu.agents import hdqn as H
 
