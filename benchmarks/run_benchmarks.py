@@ -237,6 +237,25 @@ def bench_hdqn(num_envs, steps, chunks):
     _report("hdqn-train", num_envs * steps * chunks / dt, "env-steps/s")
 
 
+def bench_drqn(num_envs, steps, chunks):
+    from merging_gym_tpu.agents import dqn as D
+    from merging_gym_tpu.agents import drqn as DR
+    from merging_gym_tpu.core.env import EnvParams
+
+    cfg = DR.DRQNConfig(memory_capacity=max(512, num_envs),
+                        opponent=D.OPP_SELFPLAY)
+    env_params = EnvParams()
+    carry = DR.drqn_train_init(jax.random.key(0), cfg, env_params, num_envs)
+    carry = DR.drqn_train_chunk(cfg, env_params, carry, steps)
+    float(jnp.sum(carry.params["fc4"]["b"]))
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        carry = DR.drqn_train_chunk(cfg, env_params, carry, steps)
+        float(jnp.sum(carry.params["fc4"]["b"]))
+    dt = time.perf_counter() - t0
+    _report("drqn-train", num_envs * steps * chunks / dt, "env-steps/s")
+
+
 def bench_rainbow(num_envs, steps, chunks):
     from merging_gym_tpu.agents import rainbow as R
     from merging_gym_tpu.core.env import EnvParams
@@ -327,6 +346,7 @@ def main():
         if not q:
             bench_dqn_fused(16384, 4096, 5, learn_batch=128)
     bench_hdqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
+    bench_drqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     bench_rainbow(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     if jax.default_backend() == "tpu":  # in-kernel PRNG needs real hardware
         bench_hdqn_fused(1024, 512 if q else 2000, 2 if q else 5)

@@ -173,34 +173,58 @@ def evaluate_drqn(params1, policy2: Policy | None = None,
                   max_chunks: int = 64, greedy: bool = False,
                   epsilon: float = EPSILON,
                   drqn_params2=None) -> dict:
-    """:func:`evaluate` for the recurrent family.
+    """:func:`evaluate` with a DRQN in seat 1 (see :func:`evaluate_mixed`).
 
-    Seat 1 is a DRQN net (``nn.lstm.drqn_init`` params) whose per-env
-    LSTM state is carried across steps and zeroed on episode reset --
-    state the stateless :class:`Policy` protocol cannot express, so the
-    recurrent rollout lives here rather than in ``two_player``.  Seat 2
-    is any stateless :class:`Policy` (default L0, the reference's
+    Seat 2 is a stateless :class:`Policy` (default L0, the reference's
     ``action2=None`` opponent, merging_env.py:152) or -- with
-    ``drqn_params2`` -- a second DRQN with its own recurrent state, on
-    the half-swapped obs (main.py:199).  Returns the same outcome dict
-    as :func:`evaluate`.
+    ``drqn_params2`` -- a second DRQN with its own recurrent state.
+    """
+    if drqn_params2 is not None:
+        assert policy2 is None or policy2.params is None, \
+            "pass either a stateless policy2 or drqn_params2, not both"
+        seat2 = ("drqn", drqn_params2)
+    else:
+        seat2 = ("policy", policy2 if policy2 is not None else l0_policy())
+    return evaluate_mixed(("drqn", params1), seat2, env_params, key,
+                          num_envs, min_episodes, chunk_steps, max_chunks,
+                          greedy, epsilon)
+
+
+def evaluate_mixed(seat1, seat2, env_params: EnvParams | None = None,
+                   key: jax.Array | None = None, num_envs: int = 256,
+                   min_episodes: int = 512, chunk_steps: int = 512,
+                   max_chunks: int = 64, greedy: bool = False,
+                   epsilon: float = EPSILON) -> dict:
+    """:func:`evaluate` where either seat may be recurrent.
+
+    Each seat is ``("policy", agents.policies.Policy)`` or
+    ``("drqn", nn.lstm.drqn_init params)``.  A DRQN seat's per-env LSTM
+    state is carried across steps and zeroed on episode reset -- state
+    the stateless :class:`Policy` protocol cannot express, so the
+    recurrent rollout lives here rather than in ``two_player``.  Seat 2
+    acts on the half-swapped obs (main.py:199).  Returns the same
+    outcome dict as :func:`evaluate`.
     """
     from merging_gym_tpu.nn.lstm import lstm_zero_carry
 
     env_params = env_params or EnvParams()
     key = key if key is not None else jax.random.key(0)
-    opp_recurrent = drqn_params2 is not None
-    if policy2 is None:
-        policy2 = l0_policy()
-    assert not (opp_recurrent and policy2.params is not None), \
-        "pass either a stateless policy2 or drqn_params2, not both"
+
+    def unpack(seat):
+        kind, payload = seat
+        assert kind in ("policy", "drqn"), kind
+        if kind == "drqn":
+            return True, None, payload
+        return False, payload.act, payload.params
+
+    rec1, act1, p1 = unpack(seat1)
+    rec2, act2, p2 = unpack(seat2)
 
     k_env, key = jax.random.split(key)
     state = reset_batch(env_params, k_env, num_envs)
     obs = jax.vmap(core_env.observe)(state)
     h1, c1 = lstm_zero_carry((num_envs,))
     h2, c2 = lstm_zero_carry((num_envs,))
-    p2 = drqn_params2 if opp_recurrent else policy2.params
 
     counts = {"episodes": 0, "p1_first": 0, "p2_first": 0,
               "collisions": 0, "timeouts": 0}
@@ -210,8 +234,8 @@ def evaluate_drqn(params1, policy2: Policy | None = None,
     for i in range(max_chunks):
         key, k = jax.random.split(key)
         carry = (state, obs, h1, c1, h2, c2)
-        carry, traj = _run_chunk_drqn(
-            env_params, carry, params1, p2, k, policy2.act, opp_recurrent,
+        carry, traj = _run_chunk_mixed(
+            env_params, carry, p1, p2, k, rec1, rec2, act1, act2,
             greedy, epsilon, chunk_steps)
         state, obs, h1, c1, h2, c2 = carry
         _accumulate(counts, ret_sums, ep_r, traj)
@@ -221,11 +245,11 @@ def evaluate_drqn(params1, policy2: Policy | None = None,
     return _finalize(counts, ret_sums)
 
 
-@functools.partial(jax.jit, static_argnames=("act2", "opp_recurrent",
+@functools.partial(jax.jit, static_argnames=("rec1", "rec2", "act1", "act2",
                                              "greedy", "epsilon",
                                              "chunk_steps"))
-def _run_chunk_drqn(env_params, carry, params1, p2, key, act2,
-                    opp_recurrent, greedy, epsilon, chunk_steps):
+def _run_chunk_mixed(env_params, carry, p1, p2, key, rec1, rec2, act1, act2,
+                     greedy, epsilon, chunk_steps):
     from merging_gym_tpu.nn.lstm import drqn_step
 
     def act_recurrent(params, obs, hc, k):
@@ -236,15 +260,18 @@ def _run_chunk_drqn(env_params, carry, params1, p2, key, act2,
             q, jax.random.split(k, obs.shape[0]), epsilon)
         return a, hc
 
+    def seat(recurrent, act, params, obs, hc, k):
+        if recurrent:
+            return act_recurrent(params, obs, hc, k)
+        a = jax.vmap(act, in_axes=(None, 0, 0))(
+            params, obs, jax.random.split(k, obs.shape[0]))
+        return a, hc
+
     def body(carry, k):
         state, obs, h1, c1, h2, c2 = carry
         k_a1, k_a2, k_reset = jax.random.split(k, 3)
-        a1, (h1, c1) = act_recurrent(params1, obs, (h1, c1), k_a1)
-        if opp_recurrent:
-            a2, (h2, c2) = act_recurrent(p2, swap_obs(obs), (h2, c2), k_a2)
-        else:
-            a2 = jax.vmap(act2, in_axes=(None, 0, 0))(
-                p2, swap_obs(obs), jax.random.split(k_a2, obs.shape[0]))
+        a1, (h1, c1) = seat(rec1, act1, p1, obs, (h1, c1), k_a1)
+        a2, (h2, c2) = seat(rec2, act2, p2, swap_obs(obs), (h2, c2), k_a2)
         actions = jnp.stack([a1, a2], axis=-1)
         state, ts = autoreset_step(env_params, state, actions, k_reset)
         obs = observe_after_reset(env_params, state, ts)

@@ -26,17 +26,26 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    from merging_gym_tpu.agents.evaluate import round_robin
-    from merging_gym_tpu.agents.policies import (l0_policy, q_policy,
-                                                 rainbow_policy)
+    from merging_gym_tpu.agents.evaluate import evaluate_mixed, round_robin
+    from merging_gym_tpu.agents.hdqn import HDQNConfig
+    from merging_gym_tpu.agents.policies import (hdqn_policy, l0_policy,
+                                                 q_policy, rainbow_policy)
     from merging_gym_tpu.core.env import EnvParams
     from merging_gym_tpu.io.checkpoint import load_params_npz
+    from merging_gym_tpu.nn.lstm import drqn_init
     from merging_gym_tpu.nn.mlp import qnet_apply, qnet_init
     from merging_gym_tpu.nn.rainbow_net import rainbow_init
 
     like = qnet_init(jax.random.key(0), 10, 5)
     rb_like = rainbow_init(jax.random.key(0), 10, 5)
+    hcfg = HDQNConfig()
+    hd_like = {"lower": qnet_init(jax.random.key(0), hcfg.obs_dim + 1,
+                                  hcfg.num_actions, hcfg.hidden),
+               "upper": qnet_init(jax.random.key(0), hcfg.obs_dim,
+                                  hcfg.num_goals, hcfg.hidden)}
+    dr_like = drqn_init(jax.random.key(0), 10, 5)
     policies = {"L0": l0_policy()}
+    recurrent = {}     # drqn entries: raw params, recurrent rollout
     for name in sorted(os.listdir(ZOO)):
         npz = os.path.join(ZOO, name, "params.npz")
         meta = os.path.join(ZOO, name, "meta.json")
@@ -49,13 +58,37 @@ def main():
         if algo == "rainbow":
             policies[name] = rainbow_policy(load_params_npz(npz, rb_like),
                                             obs_scale=m.get("obs_scale"))
+        elif algo == "hdqn":
+            nets = load_params_npz(npz, hd_like)
+            policies[name] = hdqn_policy(nets["upper"], nets["lower"])
+        elif algo == "drqn":
+            recurrent[name] = load_params_npz(npz, dr_like)
         else:
             params = load_params_npz(npz, like)
             policies[name] = q_policy(qnet_apply, params, greedy=False)
-    print("league over:", ", ".join(policies))
+    print("league over:", ", ".join(list(policies) + list(recurrent)))
 
     results = round_robin(policies, EnvParams(), jax.random.key(args.seed),
                           num_envs=args.num_envs, min_episodes=args.episodes)
+
+    # Recurrent (drqn) entries cannot ride the stateless two_player
+    # round-robin; play their matchups through evaluate_mixed (both seat
+    # orders, plus drqn-vs-drqn).
+    key = jax.random.key(args.seed + 1)
+    seats = {n: ("policy", p) for n, p in policies.items()}
+    seats.update({n: ("drqn", p) for n, p in recurrent.items()})
+    for rname in recurrent:
+        for oname, oseat in seats.items():
+            if oname == rname:
+                continue
+            key, k1, k2 = jax.random.split(key, 3)
+            results[f"{rname} vs {oname}"] = evaluate_mixed(
+                seats[rname], oseat, EnvParams(), k1,
+                num_envs=args.num_envs, min_episodes=args.episodes)
+            if oname not in recurrent:   # else covered by the outer loop
+                results[f"{oname} vs {rname}"] = evaluate_mixed(
+                    oseat, seats[rname], EnvParams(), k2,
+                    num_envs=args.num_envs, min_episodes=args.episodes)
     rounded = {
         k: {m: (round(v, 3) if isinstance(v, float) else v)
             for m, v in r.items()
