@@ -99,6 +99,14 @@ def drqn_train_init(key, cfg: DRQNConfig, env_params: EnvParams,
         assert opp_params is not None, "frozen opponent needs params"
     else:
         assert opp_params is None, f"opponent={cfg.opponent!r} takes no params"
+    # Window flushes are synchronized across lanes (window_len increments
+    # on EVERY step for every lane, so all lanes emit on the same step).
+    # A ring smaller than one flush would scatter num_envs windows onto
+    # fewer slots -- duplicate indices with backend-dependent winners,
+    # silently dropping experience.
+    assert cfg.memory_capacity >= num_envs, (
+        f"memory_capacity={cfg.memory_capacity} < num_envs={num_envs}: "
+        "the sequence ring must hold at least one synchronized flush")
     k_env, k_net, k_tnet, k_run = jax.random.split(key, 4)
     env_state = reset_batch(env_params, k_env, num_envs)
     obs = jax.vmap(core_env.observe)(env_state)

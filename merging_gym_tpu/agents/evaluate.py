@@ -180,7 +180,7 @@ def evaluate_drqn(params1, policy2: Policy | None = None,
     ``drqn_params2`` -- a second DRQN with its own recurrent state.
     """
     if drqn_params2 is not None:
-        assert policy2 is None or policy2.params is None, \
+        assert policy2 is None, \
             "pass either a stateless policy2 or drqn_params2, not both"
         seat2 = ("drqn", drqn_params2)
     else:

@@ -166,15 +166,19 @@ def _load_frozen_drqn(path):
                      "(expected a params.npz from a --algo drqn run)")
 
 
-def _opponent_mode(args):
+def _opponent_mode(args, load=_load_frozen_qnet):
     """The shared opponent-string -> (mode, frozen params) resolution
-    (main.py:161-168's Strategy_OP switch), used by every algo branch."""
+    (main.py:161-168's Strategy_OP switch), used by every algo branch.
+
+    ``load`` maps the frozen checkpoint path to params for the branch's
+    net family (default: flat Q-net); pass ``None`` when the caller
+    loads the checkpoint itself (e.g. hdqn, whose template needs cfg)."""
     from merging_gym_tpu.agents import dqn as D
 
     mode = (D.OPP_L0 if args.opponent == "L0"
             else D.OPP_SELFPLAY if args.opponent == "selfplay"
             else D.OPP_FROZEN)
-    opp = _load_frozen_qnet(args.opponent) if mode == D.OPP_FROZEN else None
+    opp = load(args.opponent) if mode == D.OPP_FROZEN and load else None
     return mode, opp
 
 
@@ -279,9 +283,7 @@ def cmd_train(args):
         if env_params.random_start and args.greedy_actor:
             raise SystemExit("--random-start needs the on-chip PRNG, which "
                              "--greedy-actor skips; drop one of the two")
-        mode = (D.OPP_L0 if args.opponent == "L0"
-                else D.OPP_SELFPLAY if args.opponent == "selfplay"
-                else D.OPP_FROZEN)
+        mode, _ = _opponent_mode(args, load=None)  # template needs cfg; below
         cfg = H.HDQNConfig(
             opponent=mode,
             memory_capacity=args.memory_capacity or 4 * args.num_envs,
@@ -414,8 +416,7 @@ def cmd_train(args):
                            "learns": int(c.dqn.learn_counter)}
     elif args.algo == "hdqn":
         from merging_gym_tpu.agents import hdqn as H
-        mode, _ = _opponent_mode(args) if args.opponent in ("L0", "selfplay") \
-            else (D.OPP_FROZEN, None)
+        mode, _ = _opponent_mode(args, load=None)  # template needs cfg; below
         cfg = H.HDQNConfig(
             opponent=mode,
             memory_capacity=args.memory_capacity or max(2000, 2 * args.num_envs),
@@ -433,15 +434,17 @@ def cmd_train(args):
                            "meta_loss": float(c.upper.last_loss)}
     elif args.algo == "drqn":
         from merging_gym_tpu.agents import drqn as DR
-        mode, _ = _opponent_mode(args) if args.opponent in ("L0", "selfplay") \
-            else (D.OPP_FROZEN, None)
+        mode, opp = _opponent_mode(args, load=_load_frozen_drqn)
         cfg = DR.DRQNConfig(
             opponent=mode,
-            memory_capacity=args.memory_capacity or 512,
+            # Window flushes are synchronized across lanes (every lane
+            # emits on the same step), so the sequence ring must hold at
+            # least one full flush of num_envs windows or the batched
+            # scatter silently drops experience (drqn_train_init asserts).
+            memory_capacity=args.memory_capacity or max(512, 2 * args.num_envs),
             batch_size=args.batch_size or 32, lr=args.lr or 0.01,
             gamma=args.gamma if args.gamma is not None else 0.90,
             epsilon=args.epsilon if args.epsilon is not None else 0.7)
-        opp = _load_frozen_drqn(args.opponent) if mode == D.OPP_FROZEN else None
         carry = DR.drqn_train_init(key, cfg, env_params, args.num_envs, opp)
         step_fn = lambda c: DR.drqn_train_chunk(cfg, env_params, c, args.chunk_steps)
         get_params = lambda c: c.params

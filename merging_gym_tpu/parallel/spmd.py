@@ -518,7 +518,16 @@ def spmd_drqn_init(key, cfg, env_params: EnvParams, num_envs: int,
     dp = mesh.shape["data"]
     assert num_envs % dp == 0
     assert cfg.pmean_axis == "data", "set DRQNConfig(pmean_axis='data')"
-    carry = DR.drqn_train_init(key, cfg, env_params, num_envs, opp_params)
+    # Per-device flush-size requirement (cf. drqn_train_init's assert on
+    # the single-chip ring): each device's ring must hold one
+    # synchronized flush of its num_envs/dp local windows.
+    assert cfg.memory_capacity >= num_envs // dp, (
+        f"per-device memory_capacity={cfg.memory_capacity} < local envs "
+        f"{num_envs // dp}")
+    init_cfg = (cfg if cfg.memory_capacity >= num_envs
+                else cfg.replace(memory_capacity=num_envs))
+    carry = DR.drqn_train_init(key, init_cfg, env_params, num_envs,
+                               opp_params)
     carry = carry.replace(
         replay=_per_device_cursor(
             rp.replay_init(cfg.memory_capacity * dp,

@@ -111,9 +111,14 @@ def test_spmd_drqn(devices8):
     assert int(carry.metrics.env_steps) == 80 * 16
     assert int(carry.learn_counter) > 0
     assert not bool(jnp.isnan(carry.last_loss))
-    # Params must stay bitwise-replicated across the pmean updates.
-    w = np.asarray(jax.device_get(carry.params["lstm"]["w_ih"]))
-    assert np.isfinite(w).all()
+    # Params must stay bitwise-replicated across the pmean updates:
+    # compare every device's addressable shard, not just finiteness.
+    w = carry.params["lstm"]["w_ih"]
+    shards = [np.asarray(s.data) for s in w.addressable_shards]
+    assert len(shards) == 4
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    assert np.isfinite(shards[0]).all()
 
 
 def test_spmd_hdqn(devices8):
