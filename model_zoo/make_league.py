@@ -19,18 +19,16 @@ import jax
 ZOO = os.path.dirname(os.path.abspath(__file__))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--num-envs", type=int, default=256)
-    ap.add_argument("--episodes", type=int, default=512)
-    ap.add_argument("--seed", type=int, default=0)
-    args = ap.parse_args()
-
-    from merging_gym_tpu.agents.evaluate import evaluate_mixed, round_robin
+def build_policies():
+    """Load every zoo entry into the league's (stateless, recurrent)
+    policy dicts -- dqn/rainbow/hdqn entries as stateless Policies,
+    drqn entries as raw params for the recurrent rollout.  Factored out
+    of main() so tests can lock the loader against every entry layout
+    actually shipped in the zoo (a dispatch gap here crashes the league
+    rebuild; it did once, when hdqn entries landed)."""
     from merging_gym_tpu.agents.hdqn import HDQNConfig
     from merging_gym_tpu.agents.policies import (hdqn_policy, l0_policy,
                                                  q_policy, rainbow_policy)
-    from merging_gym_tpu.core.env import EnvParams
     from merging_gym_tpu.io.checkpoint import load_params_npz
     from merging_gym_tpu.nn.lstm import drqn_init
     from merging_gym_tpu.nn.mlp import qnet_apply, qnet_init
@@ -66,6 +64,20 @@ def main():
         else:
             params = load_params_npz(npz, like)
             policies[name] = q_policy(qnet_apply, params, greedy=False)
+    return policies, recurrent
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-envs", type=int, default=256)
+    ap.add_argument("--episodes", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from merging_gym_tpu.agents.evaluate import evaluate_mixed, round_robin
+    from merging_gym_tpu.core.env import EnvParams
+
+    policies, recurrent = build_policies()
     print("league over:", ", ".join(list(policies) + list(recurrent)))
 
     results = round_robin(policies, EnvParams(), jax.random.key(args.seed),

@@ -41,3 +41,36 @@ def test_round_robin_keys():
     assert set(res) == {"fast vs slow", "slow vs fast"}
     assert res["fast vs slow"]["p1_first_rate"] > 0.9
     assert res["slow vs fast"]["p2_first_rate"] > 0.9
+
+
+def test_league_loader_covers_every_zoo_entry():
+    """model_zoo/make_league.build_policies must dispatch every entry's
+    meta.json algo to the right param template -- load_params_npz does
+    no shape validation, so acting once per policy is the check that a
+    template mismatch would fail (the league rebuild crashed on hdqn
+    entries once, before the loader knew all four families)."""
+    import importlib.util
+    import os
+
+    import jax.numpy as jnp
+
+    zoo = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "model_zoo")
+    spec = importlib.util.spec_from_file_location(
+        "make_league", os.path.join(zoo, "make_league.py"))
+    ml = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ml)
+
+    policies, recurrent = ml.build_policies()
+    entries = {n for n in os.listdir(zoo)
+               if os.path.exists(os.path.join(zoo, n, "params.npz"))}
+    assert set(policies) | set(recurrent) == entries | {"L0"}
+
+    obs = jnp.zeros((10,), jnp.float32)
+    for name, pol in policies.items():
+        a = pol.act(pol.params, obs, jax.random.key(0))
+        assert a.shape == (), name
+    from merging_gym_tpu.nn.lstm import drqn_step, lstm_zero_carry
+    for name, params in recurrent.items():
+        q, _ = drqn_step(params, obs[None], lstm_zero_carry((1,)))
+        assert q.shape == (1, 5), name
