@@ -95,10 +95,11 @@ def _train_args(p):
                    help="regenerate curves.png every N chunks (the live "
                         "matplotlib panel analog, main.py:176-235)")
     p.add_argument("--fused-kernel", action="store_true",
-                   help="dqn/hdqn/rainbow, TPU only: run the whole trainer "
+                   help="all four algos, TPU only: run the whole trainer "
                         "as one Pallas kernel (ops.fused_trainer / "
-                        "ops.fused_hdqn / ops.fused_rainbow; learner batch "
-                        "= num-envs unless --learn-batch, dqn only)")
+                        "ops.fused_hdqn / ops.fused_rainbow / "
+                        "ops.fused_drqn; learner batch = num-envs unless "
+                        "--learn-batch)")
     p.add_argument("--learn-batch", type=int, default=None,
                    help="with --fused-kernel: lanes per learn (multiple of "
                         "128 dividing num-envs; default num-envs). 128 "
@@ -193,9 +194,6 @@ def cmd_train(args):
         raise SystemExit("--hidden/--compute-dtype are wired into the dqn "
                          f"trainer only; --algo {args.algo} would silently "
                          "ignore them (drop the flags or use --algo dqn)")
-    if getattr(args, "fused_kernel", False) and args.algo == "drqn":
-        raise SystemExit("--fused-kernel covers dqn/hdqn/rainbow; drqn runs "
-                         "on the XLA path only")
     env_params = _env_params(args)
     out = args.out or run_dir_name(f" {args.algo}", args.opponent,
                                    env_params.reward_tuple())
@@ -391,6 +389,65 @@ def cmd_train(args):
                 break
         save_params_npz(os.path.join(out, "params.npz"),
                         FRB.rainbow_packed_to_params(carry["p"]))
+        if ckpt:
+            ckpt.save(args.max_chunks, carry, wait=True)
+            ckpt.close()
+        writer.close()
+        print(f"run saved to {out}")
+        return out
+
+    if args.algo == "drqn" and getattr(args, "fused_kernel", False):
+        # Single-kernel recurrent trainer (ops.fused_drqn): LSTM actor
+        # with on-chip per-env hidden state, sequence-window ring, and a
+        # hand-derived truncated-BPTT learner as ONE pallas_call per
+        # chunk.  Sampling deviation documented in the module docstring.
+        from merging_gym_tpu.agents import drqn as DR
+        from merging_gym_tpu.ops import fused_drqn as FD
+
+        if env_params.random_start and args.greedy_actor:
+            raise SystemExit("--random-start needs the on-chip PRNG, which "
+                             "--greedy-actor skips; drop one of the two")
+        if args.learn_rounds != 1:
+            raise SystemExit("--learn-rounds is a dqn-only fused option "
+                             "(drqn supports --learn-batch)")
+        mode, opp = _opponent_mode(args, load=_load_frozen_drqn)
+        cfg = DR.DRQNConfig(
+            opponent=mode,
+            memory_capacity=args.memory_capacity or 4 * args.num_envs,
+            gamma=args.gamma if args.gamma is not None else 0.90,
+            epsilon=args.epsilon if args.epsilon is not None else 0.7,
+            lr=args.lr or 0.01)
+        carry = FD.fused_drqn_init(key, cfg, env_params, args.num_envs, opp,
+                                   learn_batch=args.learn_batch)
+        if args.resume:
+            mgr = CheckpointManager(os.path.join(args.resume, "ckpt"))
+            carry = FD.coerce_drqn_carry(mgr.restore(carry))
+            mgr.close()
+            print(f"resumed from {args.resume} at step {carry['env_steps']}")
+        t0 = time.time()
+        for chunk in range(args.max_chunks):
+            carry = FD.fused_drqn_chunk(cfg, env_params, carry,
+                                        args.chunk_steps,
+                                        seed=args.seed + carry["steps"],
+                                        greedy=args.greedy_actor)
+            eps = max(carry["episodes"], 1.0)
+            scalars = {
+                "env_steps": carry["env_steps"],
+                "episodes": carry["episodes"],
+                "collision_rate": carry["collisions"] / eps,
+                "win_rate": carry["wins"] / eps,
+                "reward": carry["sum_ep_reward"] / eps,
+                "loss": carry["last_loss"], "learns": carry["learns"],
+                "env_steps_per_sec": carry["env_steps"] / (time.time() - t0),
+            }
+            writer.log(chunk, scalars)
+            print(f"chunk {chunk}: {json.dumps(scalars)}", flush=True)
+            if ckpt and (chunk + 1) % args.checkpoint_every == 0:
+                ckpt.save(chunk, carry)
+            if scalars["episodes"] >= args.episodes:
+                break
+        save_params_npz(os.path.join(out, "params.npz"),
+                        FD.t_to_drqn_params(carry["p"]))
         if ckpt:
             ckpt.save(args.max_chunks, carry, wait=True)
             ckpt.close()

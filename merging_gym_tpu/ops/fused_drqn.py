@@ -1,0 +1,680 @@
+"""Pallas TPU kernel: the ENTIRE recurrent-DQN (DRQN) trainer as one kernel.
+
+Fourth member of the fused-trainer family (ops.fused_trainer,
+ops.fused_hdqn, ops.fused_rainbow): the XLA DRQN trainer
+(agents.drqn.drqn_train_chunk) pays the per-scan-iteration dispatch
+floor on every env step and its learner -- a 33-matmul truncated-BPTT
+unroll over a 23K-param LSTM net -- is pure dispatch overhead at that
+scale (406K env-steps/s at 256 envs, docs/BENCHMARKS.md).  This kernel
+keeps every component on-chip across T grid steps:
+
+  * recurrent actor: fc1-fc2-LSTM-fc3-fc4 forward (nn.lstm.drqn_step's
+    math in env-last layout) with per-env hidden state for BOTH seats
+    resident in the env-state rows, zeroed on episode reset; the
+    reference Phi(0.7)-greedy rule (main.py:105) with on-chip PRNG;
+  * env: dynamics, winner state machine, collision, auto-reset
+    (ops.fused_rollout._env_step_math, locked to core.env.step);
+  * sequence replay: each env accumulates a non-overlapping seq_len-step
+    window (obs window seq_len+1, agents.drqn.drqn_train_step) in a
+    VMEM-resident slot buffer; windows flush synchronously every
+    seq_len steps into an R-round ring of whole window slabs;
+  * learner: hand-derived truncated BPTT through the full
+    (seq_len+1)-step unroll -- zero start state, per-timestep
+    Double-DQN targets, burn-in + first-done masks (the exact
+    agents.drqn.drqn_loss), backprop through the LSTM recurrence -- and
+    a full Adam update, with params, target params and both moments
+    resident on-chip.  Target sync every ``target_sync`` learns applied
+    before the update, like the flat trainer.
+
+The reference's DRQN is broken dead code (main.py:49-74: undefined
+``Flatten``, never instantiated); agents.drqn is the working
+resurrection this kernel accelerates, so the semantic authority chain
+is drqn_learn_math == jax.grad(agents.drqn.drqn_loss) + optax.adam
+(tests/test_fused_drqn.py) and the whole loop == an XLA reference built
+from independently verified components in interpret mode
+(tests/test_fused_drqn_e2e.py).
+
+Sampling semantics -- the documented deviation, same as the flat fused
+trainer: agents.drqn samples ``batch_size`` windows uniformly with
+replacement from its ring; Pallas has no vectorized gather, so each
+learn consumes one uniformly chosen (round, lane-window) pair -- B
+whole windows that share a common flush age (host-side streams through
+SMEM).  Learning is gated on the ring being full (R*seq_len global
+steps), where agents.drqn gates on ``cursor >= batch_size``; with the
+default R=4 rings this opens the gate a few flushes later.
+
+Window slot layout: 16 f32 rows per timestep slot s in 0..seq_len --
+rows [0:10) obs_s, row 10 action_{s-1}, 11 reward_{s-1}, 12 done_{s-1}
+(slot 0 carries only the window's first obs), rows 13:16 pad -- so the
+per-step dynamic store offset (slot+1)*16 and the per-flush ring offset
+round*WF are multiples of 8 (Mosaic sublane alignment), exactly the
+NUM_F=24 trick of ops.fused_trainer.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from merging_gym_tpu.core import constants as C
+from merging_gym_tpu.core.geometry import lon2coord
+from merging_gym_tpu.ops.fused_rollout import (_env_step_math,
+                                               _random_reset_vals)
+from merging_gym_tpu.ops.fused_trainer import (ADAM_B1, ADAM_B2, ADAM_EPS,
+                                               OPP_FROZEN, OPP_L0,
+                                               OPP_SELFPLAY, _argmax0, _mm,
+                                               _mm_nt, _mm_tn, _phi,
+                                               rewards_cfg)
+
+HID = 16          # nn.lstm.LSTM_HIDDEN (main.py:52-53)
+H1 = 200          # fc1 width (main.py:60-61)
+SLOT = 16         # f32 rows per window timestep slot (see module docstring)
+ENV_ROWS = 11 + 4 * HID  # pos 2, vel 2, xy 4, winner, t, ep_reward, h/c x2 seats
+
+
+# ---------------------------------------------------------------------------
+# Param layout: transposed 12-tuple, env-last [rows, lanes] math (cf.
+# fused_trainer.params_to_t).  Order:
+#   (w1T [200,10], b1 [200,1], w2T [16,200], b2 [16,1],
+#    wihT [64,16], bih [64,1], whhT [64,16], bhh [64,1],
+#    w3T [16,16], b3 [16,1], w4T [A,16], b4 [A,1])
+# Gate rows of wihT/whhT follow torch order i, f, g, o
+# (nn.lstm.lstm_cell_apply).
+# ---------------------------------------------------------------------------
+
+def drqn_params_to_t(params):
+    """nn.lstm.drqn_init param dict -> transposed 12-tuple (f32)."""
+    out = []
+    for name in ("fc1", "fc2"):
+        out.append(jnp.asarray(params[name]["w"], jnp.float32).T)
+        out.append(jnp.asarray(params[name]["b"], jnp.float32)[:, None])
+    lstm = params["lstm"]
+    out.append(jnp.asarray(lstm["w_ih"], jnp.float32).T)
+    out.append(jnp.asarray(lstm["b_ih"], jnp.float32)[:, None])
+    out.append(jnp.asarray(lstm["w_hh"], jnp.float32).T)
+    out.append(jnp.asarray(lstm["b_hh"], jnp.float32)[:, None])
+    for name in ("fc3", "fc4"):
+        out.append(jnp.asarray(params[name]["w"], jnp.float32).T)
+        out.append(jnp.asarray(params[name]["b"], jnp.float32)[:, None])
+    return tuple(out)
+
+
+def t_to_drqn_params(pt):
+    """Transposed 12-tuple -> nn.lstm param dict."""
+    return {
+        "fc1": {"w": pt[0].T, "b": pt[1][:, 0]},
+        "fc2": {"w": pt[2].T, "b": pt[3][:, 0]},
+        "lstm": {"w_ih": pt[4].T, "b_ih": pt[5][:, 0],
+                 "w_hh": pt[6].T, "b_hh": pt[7][:, 0]},
+        "fc3": {"w": pt[8].T, "b": pt[9][:, 0]},
+        "fc4": {"w": pt[10].T, "b": pt[11][:, 0]},
+    }
+
+
+def _cell_fwd(p, x, h, c):
+    """One recurrent step in env-last layout; mirrors nn.lstm.drqn_step.
+
+    x [IN, B], h/c [HID, B] -> (cache tuple, q [A, B], h_new, c_new).
+    """
+    w1T, b1, w2T, b2, wihT, bih, whhT, bhh, w3T, b3, w4T, b4 = p
+    z1 = _mm(w1T, x) + b1
+    h1 = jnp.maximum(z1, 0.0)
+    x2 = _mm(w2T, h1) + b2                      # no ReLU (main.py:62-64)
+    g = _mm(wihT, x2) + bih + _mm(whhT, h) + bhh
+    gi = jax.nn.sigmoid(g[0:HID])
+    gf = jax.nn.sigmoid(g[HID:2 * HID])
+    gg = jnp.tanh(g[2 * HID:3 * HID])
+    go = jax.nn.sigmoid(g[3 * HID:4 * HID])
+    c_new = gf * c + gi * gg
+    tc = jnp.tanh(c_new)
+    h_new = go * tc
+    z3 = _mm(w3T, h_new) + b3
+    h3 = jnp.maximum(z3, 0.0)
+    q = _mm(w4T, h3) + b4
+    cache = (x, z1, x2, gi, gf, gg, go, c, tc, h, h_new, z3, h3)
+    return cache, q, h_new, c_new
+
+
+def _unroll_fwd(p, obs_seq, L, *, with_cache):
+    """Zero-start unroll over obs_seq [L+1][IN, B] -> (qs, caches)."""
+    B = obs_seq[0].shape[1]
+    h = jnp.zeros((HID, B), jnp.float32)
+    c = jnp.zeros((HID, B), jnp.float32)
+    qs, caches = [], []
+    for t in range(L + 1):
+        cache, q, h, c = _cell_fwd(p, obs_seq[t], h, c)
+        qs.append(q)
+        if with_cache:
+            caches.append(cache)
+    return qs, caches
+
+
+def drqn_learn_math(p, tp, m, v, batch, t, *, gamma, lr, num_actions,
+                    seq_len, burn_in):
+    """One BPTT Double-DQN + Adam step; returns (new_p, new_m, new_v, loss).
+
+    ``batch``: obs [L+1][IN, B] (list of per-timestep slices), action
+    i32 [L, B], reward [L, B], done f32-in-{0,1} [L, B].  ``t``: 1-based
+    Adam step count (i32 scalar).  The loss and its gradient are exactly
+    agents.drqn.drqn_loss (zero start state, per-timestep Double-DQN
+    with done-masked bootstrap, burn-in + first-done masks, mean over
+    valid positions) -- locked against jax.grad + optax.adam by
+    tests/test_fused_drqn.py.  Pure jnp on env-last [rows, lanes]
+    layout; shared by the kernel and the CPU parity test.
+    """
+    L = seq_len
+    w1T, b1, w2T, b2, wihT, bih, whhT, bhh, w3T, b3, w4T, b4 = p
+    B = batch["action"].shape[1]
+
+    qs, caches = _unroll_fwd(p, batch["obs"], L, with_cache=True)
+    qts, _ = _unroll_fwd(tp, batch["obs"], L, with_cache=False)
+
+    onehots, coeffs = [], []
+    # Masks: past burn-in and not after an in-window episode end
+    # (agents.drqn.drqn_loss).
+    ended = jnp.zeros((B,), jnp.float32)
+    masks = []
+    for tt in range(L):
+        valid = (1.0 - ended) if tt >= burn_in else jnp.zeros((B,), jnp.float32)
+        masks.append(valid)
+        ended = jnp.maximum(ended, batch["done"][tt])
+    msum = jnp.maximum(sum(jnp.sum(mk) for mk in masks), 1.0)
+
+    loss = jnp.zeros((), jnp.float32)
+    for tt in range(L):
+        a_oh = jnp.stack([(batch["action"][tt] == j).astype(jnp.float32)
+                          for j in range(num_actions)])            # [A, B]
+        q_sel = jnp.sum(qs[tt] * a_oh, axis=0)                     # [B]
+        a_star = _argmax0(qs[tt + 1], num_actions)
+        star = jnp.stack([(a_star == j).astype(jnp.float32)
+                          for j in range(num_actions)])
+        bootstrap = jnp.sum(qts[tt + 1] * star, axis=0)
+        target = (batch["reward"][tt]
+                  + gamma * bootstrap * (1.0 - batch["done"][tt]))
+        diff = q_sel - target
+        loss = loss + jnp.sum(masks[tt] * diff * diff)
+        onehots.append(a_oh)
+        coeffs.append((2.0 / msum) * masks[tt] * diff)             # dL/dq_sel
+    loss = loss / msum
+
+    # Backward: reverse-time BPTT.  Step L's head gets no gradient (its q
+    # feeds only the stop-gradient bootstrap), and h_L is unused, so the
+    # recurrence runs t = L-1 .. 0.
+    g = [jnp.zeros_like(a) for a in p]
+    dh_next = jnp.zeros((HID, B), jnp.float32)
+    dc_next = jnp.zeros((HID, B), jnp.float32)
+    for tt in reversed(range(L)):
+        x, z1, x2, gi, gf, gg, go, c_prev, tc, h_prev, h_new, z3, h3 = \
+            caches[tt]
+        dq = onehots[tt] * coeffs[tt]                              # [A, B]
+        dh3 = _mm_tn(w4T, dq)
+        dz3 = dh3 * (z3 > 0.0).astype(jnp.float32)
+        dh = _mm_tn(w3T, dz3) + dh_next
+        do = dh * tc
+        dc = dh * go * (1.0 - tc * tc) + dc_next
+        dgi = dc * gg
+        dgf = dc * c_prev
+        dgg = dc * gi
+        dc_next = dc * gf
+        da = jnp.concatenate([
+            dgi * gi * (1.0 - gi),
+            dgf * gf * (1.0 - gf),
+            dgg * (1.0 - gg * gg),
+            do * go * (1.0 - go),
+        ], axis=0)                                                 # [4H, B]
+        dx2 = _mm_tn(wihT, da)
+        dh_next = _mm_tn(whhT, da)
+        h1 = jnp.maximum(z1, 0.0)
+        dz1 = _mm_tn(w2T, dx2) * (z1 > 0.0).astype(jnp.float32)
+        g[10] = g[10] + _mm_nt(dq, h3)
+        g[11] = g[11] + jnp.sum(dq, axis=1, keepdims=True)
+        g[8] = g[8] + _mm_nt(dz3, h_new)
+        g[9] = g[9] + jnp.sum(dz3, axis=1, keepdims=True)
+        da_sum = jnp.sum(da, axis=1, keepdims=True)
+        g[4] = g[4] + _mm_nt(da, x2)
+        g[5] = g[5] + da_sum
+        g[6] = g[6] + _mm_nt(da, h_prev)
+        g[7] = g[7] + da_sum
+        g[2] = g[2] + _mm_nt(dx2, h1)
+        g[3] = g[3] + jnp.sum(dx2, axis=1, keepdims=True)
+        g[0] = g[0] + _mm_nt(dz1, x)
+        g[1] = g[1] + jnp.sum(dz1, axis=1, keepdims=True)
+
+    # Adam, bias-corrected; pow via exp/log (Mosaic has no scalar pow).
+    tf = t.astype(jnp.float32)
+    c1 = 1.0 - jnp.exp(tf * math.log(ADAM_B1))
+    c2 = 1.0 - jnp.exp(tf * math.log(ADAM_B2))
+    new_p, new_m, new_v = [], [], []
+    for pi, mi, vi, gi_ in zip(p, m, v, g):
+        mi = ADAM_B1 * mi + (1.0 - ADAM_B1) * gi_
+        vi = ADAM_B2 * vi + (1.0 - ADAM_B2) * gi_ * gi_
+        upd = lr * (mi / c1) / (jnp.sqrt(vi / c2) + ADAM_EPS)
+        new_p.append(pi - upd)
+        new_m.append(mi)
+        new_v.append(vi)
+    return tuple(new_p), tuple(new_m), tuple(new_v), loss
+
+
+def slab_to_batch(slab, L, obs_dim=C.OBS_DIM):
+    """Sampled window slab [WF, B] -> drqn_learn_math batch dict."""
+    obs = [slab[s * SLOT:s * SLOT + obs_dim] for s in range(L + 1)]
+    action = jnp.stack([slab[(tt + 1) * SLOT + obs_dim].astype(jnp.int32)
+                        for tt in range(L)])
+    reward = jnp.stack([slab[(tt + 1) * SLOT + obs_dim + 1]
+                        for tt in range(L)])
+    done = jnp.stack([slab[(tt + 1) * SLOT + obs_dim + 2]
+                      for tt in range(L)])
+    return {"obs": obs, "action": action, "reward": reward, "done": done}
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
+            n, R, B, L, burn_in, opp, p_greedy, num_actions, gamma, lr,
+            target_sync, greedy, random_start):
+    # inputs: p 12, tp 12, m 12, v 12, opp 12, env 1, win 1, ring 1 (63)
+    # outputs: p 12, tp 12, m 12, v 12, env 1, win 1, ring 1, met 1,
+    #          loss 1 (53)
+    NP = 12
+    ins, outs = refs[:5 * NP + 3], refs[5 * NP + 3:]
+    p_in, tp_in = ins[0:NP], ins[NP:2 * NP]
+    m_in, v_in = ins[2 * NP:3 * NP], ins[3 * NP:4 * NP]
+    opp_in = ins[4 * NP:5 * NP]
+    env_in, win_in, ring_in = ins[5 * NP], ins[5 * NP + 1], ins[5 * NP + 2]
+    p_o, tp_o = outs[0:NP], outs[NP:2 * NP]
+    m_o, v_o = outs[2 * NP:3 * NP], outs[3 * NP:4 * NP]
+    env_o, win_o, ring_o = outs[4 * NP], outs[4 * NP + 1], outs[4 * NP + 2]
+    met_o, loss_o = outs[4 * NP + 3], outs[4 * NP + 4]
+    WF = (L + 1) * SLOT
+
+    i = pl.program_id(0)
+    warm = cfg_ref[2]    # 1 = learning already started in a previous launch
+    prior_learns = cfg_ref[3]
+    base = cfg_ref[4]    # prior global steps mod L*R (window + ring phase)
+    s_glob = base + i    # global step index mod L*R (exact until warm)
+
+    @pl.when(i == 0)
+    def _():
+        for dst, src in zip(p_o + tp_o + m_o + v_o,
+                            p_in + tp_in + m_in + v_in):
+            dst[:] = src[:]
+        env_o[:] = env_in[:]
+        win_o[:] = win_in[:]
+        ring_o[:] = ring_in[:]
+        met_o[:] = jnp.zeros((4, n), jnp.float32)
+
+    if greedy:
+        bits = (None,) * 4
+    else:
+        pltpu.prng_seed(cfg_ref[0] + i)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((4, n)), jnp.uint32)
+
+    # --- current state ------------------------------------------------------
+    env = env_o[:]
+    pos, vel = env[0:2], env[2:4]
+    x1, y1, x2, y2 = env[4], env[5], env[6], env[7]
+    winner = env[8].astype(jnp.int32)
+    tcnt = env[9].astype(jnp.int32)
+    ep_rew = env[10]
+    h1s = env[11:11 + HID]
+    c1s = env[11 + HID:11 + 2 * HID]
+    h2s = env[11 + 2 * HID:11 + 3 * HID]
+    c2s = env[11 + 3 * HID:11 + 4 * HID]
+
+    obs = jnp.stack([
+        x2 - x1, y2 - y1, vel[1] - vel[0], C.END_POINT - pos[0], vel[0],
+        x1 - x2, y1 - y2, vel[0] - vel[1], C.END_POINT - pos[1], vel[1],
+    ])
+
+    # --- recurrent actor (Phi(eps)-greedy, main.py:105) ---------------------
+    p_now = tuple(r[:] for r in p_o)
+    threshold = jnp.uint32(min(int(p_greedy * 4294967296.0), 4294967295))
+
+    def pick(best_a, mask_b, rand_b):
+        if greedy:
+            return best_a
+        rand = (rand_b % jnp.uint32(num_actions)).astype(jnp.int32)
+        return jnp.where(mask_b < threshold, best_a, rand)
+
+    _, q1, h1n, c1n = _cell_fwd(p_now, obs, h1s, c1s)
+    a1 = pick(_argmax0(q1, num_actions), bits[0], bits[1])
+    if opp == OPP_L0:
+        a2 = jnp.full((n,), C.ACTION_NONE, jnp.int32)
+        h2n, c2n = h2s, c2s
+    else:
+        obs2 = jnp.concatenate([obs[5:], obs[:5]])
+        opp_p = p_now if opp == OPP_SELFPLAY else tuple(r[:] for r in opp_in)
+        _, q2, h2n, c2n = _cell_fwd(opp_p, obs2, h2s, c2s)
+        a2 = pick(_argmax0(q2, num_actions), bits[2], bits[3])
+    actions = jnp.stack([a1, a2])
+
+    # --- env step ------------------------------------------------------------
+    rcfg = tuple(rewards_ref[k] for k in range(5))
+    npos, nvel, nwin, ntcnt, done, col, rewards, next_obs, coords = \
+        _env_step_math(pos, vel, winner, tcnt, jnp.zeros((n,), bool),
+                       actions, rcfg, cfg_ref[1])
+
+    # --- window slot write (agents.drqn.drqn_train_step's accumulation:
+    # slot wl+1 gets the PRE-reset obs plus the transition into it) ----------
+    wl = lax.rem(s_glob, jnp.int32(L))
+    slab = jnp.concatenate([
+        next_obs,
+        jnp.stack([a1.astype(jnp.float32), rewards[0],
+                   done.astype(jnp.float32)]),
+        jnp.zeros((SLOT - C.OBS_DIM - 3, n), jnp.float32),
+    ])                                                             # [SLOT, n]
+    win_o[pl.ds((wl + 1) * SLOT, SLOT), :] = slab
+
+    # --- auto-reset values (needed below both for the post-reset obs that
+    # seeds the next window and for the state writeback) ---------------------
+    reset = done[None, :]
+    if random_start:
+        pos_r, vel_r, xy_r = _random_reset_vals(n)
+    else:
+        sp = jnp.full((n,), C.START_POINT, jnp.float32)
+        pos_r = jnp.stack([sp, sp])
+        vel_r = jnp.full((2, n), C.START_VEL, jnp.float32)
+        x1r, y1r = lon2coord(sp, +1.0)
+        x2r, y2r = lon2coord(sp, -1.0)
+        xy_r = jnp.stack([x1r, y1r, x2r, y2r])
+    pos_n = jnp.where(reset, pos_r, npos)
+    vel_n = jnp.where(reset, vel_r, nvel)
+    xy_n = jnp.where(reset, xy_r, coords)
+    obs_post = jnp.stack([
+        xy_n[2] - xy_n[0], xy_n[3] - xy_n[1], vel_n[1] - vel_n[0],
+        C.END_POINT - pos_n[0], vel_n[0],
+        xy_n[0] - xy_n[2], xy_n[1] - xy_n[3], vel_n[0] - vel_n[1],
+        C.END_POINT - pos_n[1], vel_n[1],
+    ])
+
+    # --- synchronized flush: every L steps the full window slab is copied
+    # into the ring round (s_glob // L) % R and the next window starts at
+    # the post-reset obs ------------------------------------------------------
+    emit = wl == jnp.int32(L - 1)
+
+    @pl.when(emit)
+    def _():
+        r_cur = lax.rem(lax.div(s_glob, jnp.int32(L)), jnp.int32(R))
+        ring_o[pl.ds(r_cur * WF, WF), :] = win_o[:]
+        win_o[0:C.OBS_DIM, :] = obs_post
+
+    # --- learner (gated on ring full; agents.drqn gates on cursor >=
+    # batch_size -- see module docstring) -------------------------------------
+    full_at = jnp.int32(R * L - 1)
+    can_learn = (warm == 1) | (s_glob >= full_at)
+    lc = prior_learns + jnp.where(warm == 1, i, i - (full_at - base))
+
+    @pl.when(can_learn)
+    def _():
+        if B == n:
+            sampled = ring_o[pl.ds(rounds_ref[i] * WF, WF), :]
+        else:
+            sampled = ring_o[pl.ds(rounds_ref[i] * WF, WF),
+                             pl.ds(cols_ref[i] * B, B)]
+        batch = slab_to_batch(sampled, L)
+        sync = lax.rem(lc, jnp.int32(target_sync)) == 0
+        p12 = tuple(r[:] for r in p_o)
+        tp12 = tuple(jnp.where(sync, pv, r[:]) for pv, r in zip(p12, tp_o))
+        new_p, new_m, new_v, loss = drqn_learn_math(
+            p12, tp12, tuple(r[:] for r in m_o), tuple(r[:] for r in v_o),
+            batch, lc + 1, gamma=gamma, lr=lr, num_actions=num_actions,
+            seq_len=L, burn_in=burn_in)
+        for dst, val in zip(p_o + tp_o + m_o + v_o,
+                            new_p + tp12 + new_m + new_v):
+            dst[:] = val
+        loss_o[:] = jnp.full((8, 128), loss, jnp.float32)
+
+    @pl.when(jnp.logical_not(can_learn))
+    def _():
+        loss_o[:] = jnp.zeros((8, 128), jnp.float32)
+
+    # --- metrics (agents.drqn.drqn_train_step semantics: ep_reward
+    # accumulates unconditionally -- no store gating) --------------------------
+    ep_rew = ep_rew + rewards[0]
+    won = done & (obs[8] > obs[3])                                 # main.py:225
+    met_o[:] = met_o[:] + jnp.stack([
+        done.astype(jnp.float32),
+        col.astype(jnp.float32),
+        won.astype(jnp.float32),
+        jnp.where(done, ep_rew, 0.0),
+    ])
+    ep_rew = jnp.where(done, 0.0, ep_rew)
+
+    # --- state writeback; recurrent state zeroed on reset (both seats) -------
+    env_o[0:2] = pos_n
+    env_o[2:4] = vel_n
+    env_o[4:8] = xy_n
+    env_o[8] = jnp.where(done, 0, nwin).astype(jnp.float32)
+    env_o[9] = jnp.where(done, 0, ntcnt).astype(jnp.float32)
+    env_o[10] = ep_rew
+    done_f = done[None, :]
+    env_o[11:11 + HID] = jnp.where(done_f, 0.0, h1n)
+    env_o[11 + HID:11 + 2 * HID] = jnp.where(done_f, 0.0, c1n)
+    env_o[11 + 2 * HID:11 + 3 * HID] = jnp.where(done_f, 0.0, h2n)
+    env_o[11 + 3 * HID:11 + 4 * HID] = jnp.where(done_f, 0.0, c2n)
+
+
+# ---------------------------------------------------------------------------
+# Host API (mirrors ops.fused_trainer's chunk/resume contract)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("num_steps", "n", "R", "B", "L", "burn_in",
+                              "opp", "p_greedy", "num_actions", "gamma",
+                              "lr", "target_sync", "greedy", "random_start",
+                              "interpret"))
+def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, L,
+          burn_in, opp, p_greedy, num_actions, gamma, lr, target_sync,
+          greedy, random_start=False, interpret=False):
+    kernel = functools.partial(
+        _kernel, n=n, R=R, B=B, L=L, burn_in=burn_in, opp=opp,
+        p_greedy=p_greedy, num_actions=num_actions, gamma=gamma, lr=lr,
+        target_sync=target_sync, greedy=greedy, random_start=random_start)
+    WF = (L + 1) * SLOT
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+                + [whole(a.shape) for a in arrays])
+    state_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                    for a in arrays[:48]]          # p, tp, m, v
+    out_shape = tuple(
+        state_shapes
+        + [jax.ShapeDtypeStruct((ENV_ROWS, n), jnp.float32),
+           jax.ShapeDtypeStruct((WF, n), jnp.float32),
+           jax.ShapeDtypeStruct((R * WF, n), jnp.float32),
+           jax.ShapeDtypeStruct((4, n), jnp.float32),
+           jax.ShapeDtypeStruct((8, 128), jnp.float32)])
+    out_specs = tuple(
+        [whole(s.shape) for s in state_shapes]
+        + [whole((ENV_ROWS, n)), whole((WF, n)), whole((R * WF, n)),
+           whole((4, n)), whole((8, 128))])
+    extra = {"interpret": True} if interpret else {}
+    return pl.pallas_call(
+        kernel, grid=(num_steps,), in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        **extra,
+    )(cfg, rewards_vec, rounds, cols, *arrays)
+
+
+def fused_drqn_init(key, cfg, env_params, num_envs, opp_params=None,
+                    learn_batch=None):
+    """Fresh training state for the single-kernel DRQN trainer.
+
+    ``cfg``: agents.drqn.DRQNConfig.  ``cfg.memory_capacity`` counts
+    WINDOWS (like agents.drqn's sequence ring) and must be a multiple of
+    ``num_envs`` with ratio R >= 2; windows flush synchronously every
+    ``cfg.seq_len`` steps (agents.drqn.drqn_train_init's assert), so the
+    ring holds the R most recent flushes.  ``learn_batch`` (default
+    num_envs): whole windows consumed per learn -- a lane-window of a
+    uniformly chosen round, multiple of 128 dividing num_envs (the
+    sampling deviation in the module docstring).  Returns a plain dict
+    carry (orbax-serializable; resume == continue).
+    """
+    from merging_gym_tpu.nn.lstm import drqn_init
+    from merging_gym_tpu.ops.fused_trainer import _init_env_rows
+
+    if num_envs % 128 != 0:
+        raise ValueError(f"num_envs must be a multiple of 128, got {num_envs}")
+    B = num_envs if learn_batch is None else int(learn_batch)
+    if B % 128 != 0 or num_envs % B != 0:
+        raise ValueError("learn_batch must be a multiple of 128 dividing "
+                         f"num_envs, got learn_batch={B} num_envs={num_envs}")
+    R = cfg.memory_capacity // num_envs
+    if R < 2 or cfg.memory_capacity != R * num_envs:
+        raise ValueError("memory_capacity must be k*num_envs with k>=2, got "
+                         f"capacity={cfg.memory_capacity} num_envs={num_envs}")
+    L = int(cfg.seq_len)
+    if cfg.opponent == OPP_FROZEN:
+        assert opp_params is not None, "frozen opponent needs params"
+    k_eval, k_target = jax.random.split(jax.random.fold_in(key, 0))
+    p = drqn_params_to_t(drqn_init(k_eval, cfg.obs_dim, cfg.num_actions))
+    tp = drqn_params_to_t(drqn_init(k_target, cfg.obs_dim, cfg.num_actions))
+    zeros12 = tuple(jnp.zeros_like(a) for a in p)
+    opp = drqn_params_to_t(opp_params) if opp_params is not None else p
+
+    n = num_envs
+    env = np.zeros((ENV_ROWS, n), np.float32)
+    env[0:8] = _init_env_rows(env_params, jax.random.fold_in(key, 7), n)
+    WF = (L + 1) * SLOT
+    win = np.zeros((WF, n), np.float32)
+    # Slot 0 of the first window is the initial observation
+    # (agents.drqn.drqn_train_init seeds window obs[0] the same way).
+    e = env[0:8]
+    win[0:C.OBS_DIM] = np.stack([
+        e[6] - e[4], e[7] - e[5], e[3] - e[2], C.END_POINT - e[0], e[2],
+        e[4] - e[6], e[5] - e[7], e[2] - e[3], C.END_POINT - e[1], e[3],
+    ])
+    return {
+        "p": p, "tp": tp, "m": zeros12, "v": zeros12, "opp": opp,
+        "env": jnp.asarray(env), "win": jnp.asarray(win),
+        "ring": jnp.zeros((R * WF, n), jnp.float32),
+        "R": R, "n": n, "B": B, "L": L, "warm": 0, "learns": 0, "steps": 0,
+        "env_steps": 0,
+        "episodes": 0.0, "collisions": 0.0, "wins": 0.0, "sum_ep_reward": 0.0,
+        "last_loss": 0.0,
+    }
+
+
+def coerce_drqn_carry(carry):
+    """Fix types after an orbax StandardRestore roundtrip (cf.
+    fused_trainer.coerce_carry): static sizes/counters back to Python
+    ints, param 12-tuples back to f32 jnp tuples.  Everything streamed
+    through HBM round-trips exactly, so a resumed run continues
+    bit-for-bit."""
+    out = dict(carry)
+    for k in ("R", "n", "B", "L", "warm", "learns", "steps", "env_steps"):
+        out[k] = int(out.get(k, 0))
+    for k in ("episodes", "collisions", "wins", "sum_ep_reward", "last_loss"):
+        out[k] = float(out[k])
+    for k in ("p", "tp", "m", "v", "opp"):
+        out[k] = tuple(jnp.asarray(a, jnp.float32) for a in out[k])
+    for k in ("env", "win", "ring"):
+        out[k] = jnp.asarray(out[k], jnp.float32)
+    return out
+
+
+def drqn_launch_cfg(carry, env_params, seed):
+    """SMEM cfg vector [seed, max_steps, warm, learns, base]; ``base`` is
+    prior global steps mod L*R, the joint window + ring phase."""
+    period = carry["L"] * carry["R"]
+    return jnp.stack([
+        jnp.asarray(seed, jnp.int32),
+        jnp.int32(env_params.max_steps),
+        jnp.int32(carry["warm"]),
+        jnp.int32(carry["learns"]),
+        jnp.int32(carry.get("steps", 0) % period),
+    ])
+
+
+def drqn_chunk_learns(carry, num_steps):
+    """Learn count added by a ``num_steps`` launch (ring-full gated)."""
+    full_at = carry["R"] * carry["L"] - 1
+    prior = carry.get("steps", 0)
+    warmup_left = 0 if carry["warm"] else max(full_at - prior, 0)
+    return max(num_steps - warmup_left, 0)
+
+
+def apply_drqn_chunk(carry, out, num_steps, met_sum, loss):
+    """Fold a launch's outputs back into the host-side carry dict
+    (cf. fused_trainer.apply_chunk; shared with the SPMD wrapper)."""
+    NP = 12
+    p, tp = out[0:NP], out[NP:2 * NP]
+    m, v = out[2 * NP:3 * NP], out[3 * NP:4 * NP]
+    env, win, ring = out[4 * NP], out[4 * NP + 1], out[4 * NP + 2]
+    steps = carry.get("steps", 0) + num_steps
+    full_at = carry["R"] * carry["L"] - 1
+    return {
+        **carry,
+        "p": tuple(p), "tp": tuple(tp), "m": tuple(m), "v": tuple(v),
+        "env": env, "win": win, "ring": ring,
+        "warm": 1 if steps >= full_at else 0,
+        "steps": steps,
+        "learns": carry["learns"] + drqn_chunk_learns(carry, num_steps),
+        "env_steps": carry["env_steps"] + num_steps * carry["n"],
+        "episodes": carry["episodes"] + float(met_sum[0]),
+        "collisions": carry["collisions"] + float(met_sum[1]),
+        "wins": carry["wins"] + float(met_sum[2]),
+        "sum_ep_reward": carry["sum_ep_reward"] + float(met_sum[3]),
+        "last_loss": float(loss),
+    }
+
+
+def _interpret_flag():
+    return os.environ.get("MGT_FUSED_INTERPRET", "") == "1"
+
+
+def fused_drqn_chunk(cfg, env_params, carry, num_steps, seed, *,
+                     greedy=False, rounds=None, cols=None):
+    """Run ``num_steps`` DRQN training steps in ONE kernel launch.
+
+    ``greedy=True`` + explicit ``rounds``/``cols`` streams (both i32
+    [num_steps]; default drawn host-side from ``seed``) make the kernel
+    deterministic and interpret-testable on CPU, exactly like
+    fused_trainer.fused_dqn_chunk (tests/test_fused_drqn_e2e.py).
+    """
+    R, n, B, L = carry["R"], carry["n"], carry["B"], carry["L"]
+    if num_steps < 1:
+        raise ValueError(f"num_steps must be >= 1, got {num_steps} (a "
+                         "zero-iteration grid would skip the state copy "
+                         "and return uninitialized outputs)")
+    k_r, k_c = jax.random.split(jax.random.key(seed ^ 0xD7D7))
+    if rounds is None:
+        rounds = jax.random.randint(k_r, (num_steps,), 0, R, jnp.int32)
+    if cols is None:
+        cols = jax.random.randint(k_c, (num_steps,), 0, n // B, jnp.int32)
+    rounds = jnp.asarray(rounds, jnp.int32)
+    cols = jnp.asarray(cols, jnp.int32)
+    if rounds.shape != (num_steps,) or cols.shape != (num_steps,):
+        raise ValueError("rounds/cols must be i32 [num_steps]")
+    rnp, cnp = np.asarray(rounds), np.asarray(cols)
+    if rnp.min() < 0 or rnp.max() >= R or cnp.min() < 0 or cnp.max() >= n // B:
+        raise ValueError(f"rounds must lie in [0, {R}) and cols in "
+                         f"[0, {n // B})")
+    if env_params.random_start and greedy:
+        raise ValueError("random starts need the on-chip PRNG, which "
+                         "greedy mode skips; drop one of the two")
+    arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
+              + list(carry["v"]) + list(carry["opp"])
+              + [carry["env"], carry["win"], carry["ring"]])
+    out = _call(drqn_launch_cfg(carry, env_params, seed),
+                rewards_cfg(env_params), rounds, cols, tuple(arrays),
+                num_steps, n, R, B, L, int(cfg.burn_in), cfg.opponent,
+                _phi(cfg.epsilon), cfg.num_actions, float(cfg.gamma),
+                float(cfg.lr), int(cfg.target_sync), bool(greedy),
+                random_start=bool(env_params.random_start),
+                interpret=_interpret_flag())
+    met = np.asarray(out[51]).sum(axis=1)
+    return apply_drqn_chunk(carry, out, num_steps, met,
+                            float(np.asarray(out[52])[0, 0]))
