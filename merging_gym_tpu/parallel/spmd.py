@@ -293,7 +293,12 @@ def _spmd_chunk(cfg, env_params, carry, num_steps, mesh):
             partial(_device_train_step, cfg, env_params), carry,
             None, length=num_steps)
         return carry.replace(
-            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)),
+            # Chunk advance folds in a value outside the axis-index range
+            # (2**31 + num_steps) so it can never collide with a device's
+            # per-chunk fold_in(shared_key, idx) when num_steps < mesh
+            # size (ADVICE r3).
+            key=jax.random.fold_in(shared_key,
+                                   jnp.uint32(2**31) + jnp.uint32(num_steps)),
             replay=_globalize_cursor(carry.replay))
 
     out_specs = carry_pspecs(cfg, carry)
@@ -391,7 +396,12 @@ def _spmd_rainbow_chunk(cfg, env_params, carry, num_steps, mesh):
             partial(R.rainbow_train_step, cfg, env_params), carry,
             None, length=num_steps)
         return carry.replace(
-            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)),
+            # Chunk advance folds in a value outside the axis-index range
+            # (2**31 + num_steps) so it can never collide with a device's
+            # per-chunk fold_in(shared_key, idx) when num_steps < mesh
+            # size (ADVICE r3).
+            key=jax.random.fold_in(shared_key,
+                                   jnp.uint32(2**31) + jnp.uint32(num_steps)),
             replay=_globalize_cursor(carry.replay))
 
     return jax.shard_map(per_device, mesh=mesh, in_specs=(specs,),
@@ -471,7 +481,12 @@ def _spmd_hdqn_chunk(cfg, env_params, carry, num_steps, mesh):
             partial(H.hdqn_step, cfg, env_params), carry,
             None, length=num_steps)
         return carry.replace(
-            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)),
+            # Chunk advance folds in a value outside the axis-index range
+            # (2**31 + num_steps) so it can never collide with a device's
+            # per-chunk fold_in(shared_key, idx) when num_steps < mesh
+            # size (ADVICE r3).
+            key=jax.random.fold_in(shared_key,
+                                   jnp.uint32(2**31) + jnp.uint32(num_steps)),
             upper_replay=_globalize_cursor(carry.upper_replay),
             lower_replay=_globalize_cursor(carry.lower_replay))
 
@@ -555,7 +570,12 @@ def _spmd_drqn_chunk(cfg, env_params, carry, num_steps, mesh):
             partial(DR.drqn_train_step, cfg, env_params), carry,
             None, length=num_steps)
         return carry.replace(
-            key=jax.random.fold_in(shared_key, jnp.uint32(num_steps)),
+            # Chunk advance folds in a value outside the axis-index range
+            # (2**31 + num_steps) so it can never collide with a device's
+            # per-chunk fold_in(shared_key, idx) when num_steps < mesh
+            # size (ADVICE r3).
+            key=jax.random.fold_in(shared_key,
+                                   jnp.uint32(2**31) + jnp.uint32(num_steps)),
             replay=_globalize_cursor(carry.replay))
 
     return jax.shard_map(per_device, mesh=mesh, in_specs=(specs,),
@@ -1023,3 +1043,117 @@ def spmd_fused_rainbow_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
         carry, tuple(p) + tuple(tp) + tuple(m) + tuple(v) + tuple(eps)
         + tuple(teps), env, ring, num_steps, met, float(np.asarray(loss)),
         nwarm=int(cfg.n_step))
+
+
+def spmd_fused_drqn_init(key, cfg, env_params: EnvParams, num_envs: int,
+                         mesh: Mesh, opp_params=None, learn_batch=None):
+    """Sharded fused-DRQN carry (cf. spmd_fused_dqn_init): env rows
+    (incl. both seats' per-env LSTM state), window slot buffer and
+    sequence ring lane-sharded over ``data``; learner state (12-tuples)
+    replicated.  ``memory_capacity`` is a GLOBAL window count."""
+    from jax.sharding import NamedSharding
+
+    from merging_gym_tpu.ops import fused_drqn as FD
+
+    ndev = mesh.shape["data"]
+    if num_envs % ndev != 0:
+        raise ValueError(f"num_envs {num_envs} must divide over {ndev} devices")
+    if cfg.memory_capacity % ndev != 0:
+        raise ValueError(f"memory_capacity {cfg.memory_capacity} must divide "
+                         f"over {ndev} devices (a GLOBAL window count, split "
+                         "into per-device rings)")
+    n_local = num_envs // ndev
+    carry = FD.fused_drqn_init(
+        key, cfg.replace(memory_capacity=cfg.memory_capacity // ndev),
+        env_params, n_local, opp_params, learn_batch=learn_batch)
+    lanes = NamedSharding(mesh, P(None, "data"))
+    rep = NamedSharding(mesh, P())
+    carry["env"] = _global_put(jnp.tile(carry["env"], (1, ndev)), lanes)
+    carry["win"] = _global_put(jnp.tile(carry["win"], (1, ndev)), lanes)
+    carry["ring"] = _global_put(
+        jnp.zeros((carry["ring"].shape[0], num_envs), jnp.float32), lanes)
+    for k in ("p", "tp", "m", "v", "opp"):
+        carry[k] = tuple(_global_put(a, rep) for a in carry[k])
+    carry["n"] = num_envs
+    carry["n_local"] = n_local
+    return carry
+
+
+@lru_cache(maxsize=None)
+def _fused_drqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
+                        B: int, L: int, burn_in: int, opp: str,
+                        p_greedy: float, num_actions: int, gamma: float,
+                        lr: float, target_sync: int, greedy: bool,
+                        random_start: bool, interpret: bool):
+    """Jitted shard_map for one fused-DRQN config (cf. _fused_dqn_sharded):
+    per-chunk seed and warm/learns/base counters are traced (``scal``)
+    so chunk launches reuse one Mosaic compilation."""
+    from merging_gym_tpu.ops import fused_drqn as FD
+
+    ndev = mesh.shape["data"]
+
+    def per_device(scal, rewards, p, tp, m, v, opp_p, env, win, ring):
+        idx = jax.lax.axis_index("data")
+        dev_seed = _dev_seed_block(scal[0], idx, ndev, num_steps)
+        kd = jax.random.fold_in(jax.random.key(scal[0] ^ 0xD7D7), idx)
+        k_r, k_c = jax.random.split(kd)
+        rounds = jax.random.randint(k_r, (num_steps,), 0, R, jnp.int32)
+        cols = jax.random.randint(k_c, (num_steps,), 0, n_local // B,
+                                  jnp.int32)
+        cfgv = jnp.stack([dev_seed, scal[1], scal[2], scal[3], scal[4]])
+        arrays = tuple(list(p) + list(tp) + list(m) + list(v) + list(opp_p)
+                       + [env, win, ring])
+        out = FD._call(cfgv, rewards, rounds, cols, arrays, num_steps,
+                       n_local, R, B, L, burn_in, opp, p_greedy,
+                       num_actions, gamma, lr, target_sync, greedy,
+                       random_start=random_start, interpret=interpret)
+        NP = 12
+        po, tpo = out[0:NP], out[NP:2 * NP]
+        mo, vo = out[2 * NP:3 * NP], out[3 * NP:4 * NP]
+        env_o, win_o, ring_o = out[4 * NP], out[4 * NP + 1], out[4 * NP + 2]
+        met_o, loss_o = out[4 * NP + 3], out[4 * NP + 4]
+        avg = lambda t: tuple(jax.lax.pmean(a, "data") for a in t)
+        loss = jax.lax.pmean(loss_o[0, 0], "data")
+        met = jax.lax.psum(jnp.sum(met_o, axis=1), "data")
+        return (avg(po), avg(tpo), avg(mo), avg(vo), env_o, win_o, ring_o,
+                met, loss)
+
+    rep12 = tuple(P() for _ in range(12))
+    lanes = P(None, "data")
+    return jax.jit(jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), rep12, rep12, rep12, rep12, rep12, lanes,
+                  lanes, lanes),
+        out_specs=(rep12, rep12, rep12, rep12, lanes, lanes, lanes, P(),
+                   P()),
+        check_vma=False,
+    ))
+
+
+def spmd_fused_drqn_chunk(mesh: Mesh, cfg, env_params: EnvParams, carry,
+                          num_steps: int, seed: int, *, greedy=False):
+    """One fused-DRQN launch per device + chunk-boundary local-SGD pmean
+    of params/target/moments over ICI (cf. spmd_fused_dqn_chunk)."""
+    from merging_gym_tpu.ops import fused_drqn as FD
+    from merging_gym_tpu.ops import fused_trainer as FT
+
+    _check_fused_launch(num_steps, env_params, greedy)
+    R, B, L = carry["R"], carry["B"], carry["L"]
+    fn = _fused_drqn_sharded(mesh, num_steps, carry["n_local"], R, B, L,
+                             int(cfg.burn_in), cfg.opponent,
+                             FT._phi(cfg.epsilon), cfg.num_actions,
+                             float(cfg.gamma), float(cfg.lr),
+                             int(cfg.target_sync), bool(greedy),
+                             bool(env_params.random_start),
+                             FT._interpret_flag())
+    scal = jnp.asarray([seed, env_params.max_steps, carry["warm"],
+                        carry["learns"],
+                        carry.get("steps", 0) % (L * R)], jnp.int32)
+    out = fn(scal, FT.rewards_cfg(env_params), carry["p"], carry["tp"],
+             carry["m"], carry["v"], carry["opp"], carry["env"],
+             carry["win"], carry["ring"])
+    p, tp, m, v, env, win, ring, met, loss = out
+    import numpy as np
+    flat = list(p) + list(tp) + list(m) + list(v) + [env, win, ring]
+    return FD.apply_drqn_chunk(carry, flat, num_steps, np.asarray(met),
+                               float(np.asarray(loss)))

@@ -298,3 +298,254 @@ def test_rainbow_per_eight_device_local_sgd(devices8):
     ring = np.asarray(carry["ring"])
     pri = ring[FT.NUM_F - 1::FT.NUM_F]
     assert (pri > 0).any()
+
+
+# ---------------------------------------------------------------------------
+# DRQN wrapper (round 4)
+# ---------------------------------------------------------------------------
+
+def test_drqn_one_device_mesh_equals_single_chip():
+    from merging_gym_tpu.agents.drqn import DRQNConfig
+    from merging_gym_tpu.ops import fused_drqn as FD
+    from merging_gym_tpu.parallel.spmd import (spmd_fused_drqn_chunk,
+                                               spmd_fused_drqn_init)
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    n, T, seed = 128, 10, 5
+    cfg = DRQNConfig(lr=1e-3, target_sync=3, seq_len=4, burn_in=1,
+                     memory_capacity=2 * n, opponent=FT.OPP_SELFPLAY)
+    ep = EnvParams(max_steps=20)
+
+    dist = _shrink(spmd_fused_drqn_init(jax.random.key(0), cfg, ep, n, mesh))
+    solo = _shrink(FD.fused_drqn_init(jax.random.key(0), cfg, ep, n))
+
+    dist = spmd_fused_drqn_chunk(mesh, cfg, ep, dist, T, seed, greedy=True)
+    kd = jax.random.fold_in(jax.random.key(seed ^ 0xD7D7), 0)
+    k_r, k_c = jax.random.split(kd)
+    rounds = jax.random.randint(k_r, (T,), 0, solo["R"], jnp.int32)
+    cols = jax.random.randint(k_c, (T,), 0, 1, jnp.int32)
+    solo = FD.fused_drqn_chunk(cfg, ep, solo, T, seed=seed, greedy=True,
+                               rounds=rounds, cols=cols)
+
+    for k in ("p", "tp", "m", "v"):
+        for a, b in zip(dist[k], solo[k]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), k)
+    for k in ("env", "win", "ring"):
+        np.testing.assert_array_equal(np.asarray(dist[k]),
+                                      np.asarray(solo[k]), k)
+    for k in ("learns", "steps", "env_steps", "episodes", "collisions",
+              "wins", "last_loss"):
+        assert dist[k] == solo[k], k
+
+
+def test_drqn_eight_device_local_sgd(devices8):
+    from merging_gym_tpu.agents.drqn import DRQNConfig
+    from merging_gym_tpu.parallel.spmd import (spmd_fused_drqn_chunk,
+                                               spmd_fused_drqn_init)
+
+    mesh = Mesh(np.asarray(devices8), ("data",))
+    n, T = 8 * 128, 10
+    cfg = DRQNConfig(lr=1e-3, target_sync=3, seq_len=4, burn_in=1,
+                     memory_capacity=2 * n, opponent=FT.OPP_L0)
+    ep = EnvParams(max_steps=20)
+    carry = _shrink(spmd_fused_drqn_init(jax.random.key(1), cfg, ep, n, mesh))
+    p0 = carry["p"]
+    carry = spmd_fused_drqn_chunk(mesh, cfg, ep, carry, T, seed=3, greedy=True)
+    carry = spmd_fused_drqn_chunk(mesh, cfg, ep, carry, T, seed=4, greedy=True)
+    assert carry["env_steps"] == 2 * T * n
+    assert carry["steps"] == 2 * T
+    # R*L - 1 = 7-step warm-up, then a learn every step.
+    assert carry["learns"] == (T - 7) + T
+    assert np.isfinite(carry["last_loss"])
+    assert any(bool(jnp.any(a != b)) for a, b in zip(p0, carry["p"]))
+    assert carry["ring"].shape == (2 * (4 + 1) * 16, n)
+
+
+# ---------------------------------------------------------------------------
+# Exact 2-device locks (VERDICT r3 item 5): the wrappers are deterministic
+# given per-device streams, so a 2-device greedy chunk must equal the
+# boundary pmean of two independently launched single-chip kernels fed each
+# device's exact env/ring shard and sample streams -- bit-for-bit for the
+# lane-sharded state, and to one f32 rounding of (a+b)/2 for the averaged
+# learner tensors.  This locks the actual collective semantics that the
+# "params move, loss finite" 8-device tests cannot.
+# ---------------------------------------------------------------------------
+
+def _mesh2():
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs 2 virtual devices")
+    return Mesh(np.asarray(devs[:2]), ("data",))
+
+
+def _assert_pmean(dist_t, solo_a, solo_b, name):
+    for k, (d, a, b) in enumerate(zip(dist_t, solo_a, solo_b)):
+        want = (np.asarray(a, np.float32) + np.asarray(b, np.float32)) / 2.0
+        np.testing.assert_allclose(np.asarray(d), want, rtol=0, atol=1e-7,
+                                   err_msg=f"{name}[{k}]")
+
+
+def _assert_lane_concat(dist_arr, solo_a, solo_b, name):
+    np.testing.assert_array_equal(
+        np.asarray(dist_arr),
+        np.concatenate([np.asarray(solo_a), np.asarray(solo_b)], axis=1),
+        err_msg=name)
+
+
+def test_dqn_two_device_equals_pmean_of_solo_kernels():
+    from merging_gym_tpu.parallel.spmd import (spmd_fused_dqn_chunk,
+                                               spmd_fused_dqn_init)
+
+    mesh = _mesh2()
+    n, T, seed = 2 * 128, 9, 11
+    cfg = DQNConfig(lr=1e-3, target_sync=4, memory_capacity=2 * n,
+                    opponent=FT.OPP_SELFPLAY)
+    ep = EnvParams(max_steps=25)
+
+    dist = _shrink(spmd_fused_dqn_init(jax.random.key(0), cfg, ep, n, mesh))
+    dist = spmd_fused_dqn_chunk(mesh, cfg, ep, dist, T, seed, greedy=True)
+
+    solos = []
+    for idx in range(2):
+        solo = _shrink(FT.fused_dqn_init(
+            jax.random.key(0), cfg.replace(memory_capacity=n), ep, n // 2))
+        kd = jax.random.fold_in(jax.random.key(seed ^ 0x5EED), idx)
+        k_r, k_c = jax.random.split(kd)
+        rounds = jax.random.randint(k_r, (T,), 0, solo["R"], jnp.int32)
+        cols = jax.random.randint(k_c, (T,), 0, 1, jnp.int32)
+        solos.append(FT.fused_dqn_chunk(cfg, ep, solo, T, seed=seed,
+                                        greedy=True, rounds=rounds,
+                                        cols=cols))
+    a, b = solos
+    for k in ("p", "tp", "m", "v"):
+        _assert_pmean(dist[k], a[k], b[k], k)
+    for k in ("env", "ring"):
+        _assert_lane_concat(dist[k], a[k], b[k], k)
+    assert dist["learns"] == a["learns"] == b["learns"]
+    assert dist["episodes"] == a["episodes"] + b["episodes"]
+    assert dist["collisions"] == a["collisions"] + b["collisions"]
+    np.testing.assert_allclose(
+        dist["last_loss"], (a["last_loss"] + b["last_loss"]) / 2.0,
+        rtol=1e-6)
+
+
+def test_drqn_two_device_equals_pmean_of_solo_kernels():
+    from merging_gym_tpu.agents.drqn import DRQNConfig
+    from merging_gym_tpu.ops import fused_drqn as FD
+    from merging_gym_tpu.parallel.spmd import (spmd_fused_drqn_chunk,
+                                               spmd_fused_drqn_init)
+
+    mesh = _mesh2()
+    n, T, seed = 2 * 128, 10, 21
+    cfg = DRQNConfig(lr=1e-3, target_sync=3, seq_len=4, burn_in=1,
+                     memory_capacity=2 * n, opponent=FT.OPP_SELFPLAY)
+    ep = EnvParams(max_steps=20)
+
+    dist = _shrink(spmd_fused_drqn_init(jax.random.key(0), cfg, ep, n, mesh))
+    dist = spmd_fused_drqn_chunk(mesh, cfg, ep, dist, T, seed, greedy=True)
+
+    solos = []
+    for idx in range(2):
+        solo = _shrink(FD.fused_drqn_init(
+            jax.random.key(0), cfg.replace(memory_capacity=n), ep, n // 2))
+        kd = jax.random.fold_in(jax.random.key(seed ^ 0xD7D7), idx)
+        k_r, k_c = jax.random.split(kd)
+        rounds = jax.random.randint(k_r, (T,), 0, solo["R"], jnp.int32)
+        cols = jax.random.randint(k_c, (T,), 0, 1, jnp.int32)
+        solos.append(FD.fused_drqn_chunk(cfg, ep, solo, T, seed=seed,
+                                         greedy=True, rounds=rounds,
+                                         cols=cols))
+    a, b = solos
+    for k in ("p", "tp", "m", "v"):
+        _assert_pmean(dist[k], a[k], b[k], k)
+    for k in ("env", "win", "ring"):
+        _assert_lane_concat(dist[k], a[k], b[k], k)
+    assert dist["learns"] == a["learns"] == b["learns"]
+    assert dist["episodes"] == a["episodes"] + b["episodes"]
+
+
+def test_hdqn_two_device_equals_pmean_of_solo_kernels():
+    from merging_gym_tpu.agents.hdqn import HDQNConfig
+    from merging_gym_tpu.ops import fused_hdqn as FH
+    from merging_gym_tpu.parallel.spmd import (spmd_fused_hdqn_chunk,
+                                               spmd_fused_hdqn_init)
+
+    mesh = _mesh2()
+    n, T, seed = 2 * 128, 8, 13
+    cfg = HDQNConfig(lr=1e-3, target_sync=3, memory_capacity=2 * n,
+                     goal_memory_capacity=2 * n, opponent=FT.OPP_L0)
+    ep = EnvParams(max_steps=20)
+
+    def shrink(c):
+        for k in ("u_p", "u_tp", "l_p", "l_tp"):
+            c[k] = tuple((arr - jnp.mean(arr)) * 0.05 for arr in c[k])
+        c["opp_u"], c["opp_l"] = c["u_p"], c["l_p"]
+        return c
+
+    dist = shrink(spmd_fused_hdqn_init(jax.random.key(0), cfg, ep, n, mesh))
+    dist = spmd_fused_hdqn_chunk(mesh, cfg, ep, dist, T, seed, greedy=True)
+
+    solos = []
+    for idx in range(2):
+        solo = shrink(FH.fused_hdqn_init(
+            jax.random.key(0),
+            cfg.replace(memory_capacity=n, goal_memory_capacity=n), ep,
+            n // 2))
+        kd = jax.random.fold_in(jax.random.key(seed ^ 0x4D0), idx)
+        k1, k2, _ = jax.random.split(kd, 3)
+        lo_r = jax.random.randint(k1, (T,), 0, solo["R_lo"], jnp.int32)
+        up_r = jax.random.randint(k2, (T,), 0, solo["R_up"], jnp.int32)
+        solos.append(FH.fused_hdqn_chunk(cfg, ep, solo, T, seed=seed,
+                                         greedy=True, lo_rounds=lo_r,
+                                         up_rounds=up_r))
+    a, b = solos
+    for k in ("u_p", "u_tp", "u_m", "u_v", "l_p", "l_tp", "l_m", "l_v"):
+        _assert_pmean(dist[k], a[k], b[k], k)
+    for k in ("state", "lo_ring", "up_ring"):
+        _assert_lane_concat(dist[k], a[k], b[k], k)
+    assert dist["lo_learns"] == a["lo_learns"] == b["lo_learns"]
+
+
+def test_rainbow_two_device_equals_pmean_of_solo_kernels():
+    from merging_gym_tpu.agents.rainbow import RainbowConfig
+    from merging_gym_tpu.ops import fused_rainbow as FRB
+    from merging_gym_tpu.parallel.spmd import (spmd_fused_rainbow_chunk,
+                                               spmd_fused_rainbow_init)
+
+    mesh = _mesh2()
+    n, T, seed = 2 * 128, 8, 19
+    cfg = RainbowConfig(lr=1e-3, target_sync_episodes=3,
+                        memory_capacity=2 * n, obs_scale=0.01,
+                        opponent=FT.OPP_SELFPLAY)
+    ep = EnvParams(max_steps=15)
+
+    dist = spmd_fused_rainbow_init(jax.random.key(0), cfg, ep, n, mesh)
+    dist_eps = tuple(np.asarray(a) for a in dist["eps"])
+    dist_teps = tuple(np.asarray(a) for a in dist["teps"])
+    dist = spmd_fused_rainbow_chunk(mesh, cfg, ep, dist, T, seed,
+                                    greedy=True)
+
+    ks = jax.random.split(jax.random.key(seed ^ 0x51C), 2)
+    solos = []
+    for idx in range(2):
+        solo = FRB.fused_rainbow_init(
+            jax.random.key(0), cfg.replace(memory_capacity=n), ep, n // 2)
+        # Device idx's noise shard (the spmd init concatenates per-device
+        # draws lane-wise; the two packed arrays have different widths).
+        widths = [np.asarray(a).shape[1] for a in solo["eps"]]
+        solo["eps"] = tuple(jnp.asarray(a[:, idx * w:(idx + 1) * w])
+                            for a, w in zip(dist_eps, widths))
+        solo["teps"] = tuple(jnp.asarray(a[:, idx * w:(idx + 1) * w])
+                             for a, w in zip(dist_teps, widths))
+        rounds = np.asarray(FRB.draw_start_rounds(solo, T, ks[idx], 1))
+        solos.append(FRB.fused_rainbow_chunk(cfg, ep, solo, T, seed=seed,
+                                             greedy=True, rounds=rounds))
+    a, b = solos
+    for k in ("p", "tp", "m", "v"):
+        _assert_pmean(dist[k], a[k], b[k], k)
+    for k in ("env", "ring"):
+        _assert_lane_concat(dist[k], a[k], b[k], k)
+    for k in ("eps", "teps"):
+        for j in range(2):
+            _assert_lane_concat(dist[k][j], a[k][j], b[k][j], f"{k}[{j}]")
+    assert dist["learns"] == a["learns"] == b["learns"]
