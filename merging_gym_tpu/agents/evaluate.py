@@ -39,6 +39,12 @@ def evaluate(policy1: Policy, policy2: Policy, env_params: EnvParams,
         (``winner`` at the done step);
       * ``collisions`` -- episode ended in a collision (either way);
       * ``timeouts`` -- episode hit the 2501-step cap with no winner.
+
+    Buckets can overlap: the winner latches on the first crossing
+    (core/env.py winner machine) and the episode can still END in a
+    collision, so such an episode counts in both a ``p*_first`` bucket
+    and ``collisions`` -- the four buckets sum to >= episodes.
+    ``timeouts`` is exclusive with the winner buckets by construction.
     """
     policy_fn, pstate = two_player(policy1, policy2)
     k_env, key = jax.random.split(key)

@@ -31,7 +31,11 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_distributed_training():
+@pytest.mark.parametrize("num_procs", [2, 4])
+def test_multi_process_distributed_training(num_procs):
+    """2 processes = the minimal cross-boundary topology; 4 processes =
+    the BASELINE multi-host target shape (4 hosts), exercising a
+    non-trivial >2-rank Gloo allreduce tree."""
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -39,23 +43,26 @@ def test_two_process_distributed_training():
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "examples",
                                           "multiprocess_dryrun.py"),
-             str(i), "2", str(port)],
+             str(i), str(num_procs), str(port)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
-        for i in range(2)
+        for i in range(num_procs)
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
+        out, _ = p.communicate(timeout=300 * num_procs)
         outs.append(out)
         assert p.returncode == 0, out[-2000:]
-    for tag, steps in (("PROC0 OK", 72), ("PROC0 FUSED OK", 3072),
-                       ("PROC0 RAINBOW OK", 1536)):
+    ndev = 2 * num_procs         # 2 virtual devices per process
+    for tag, steps in (("OK", 9 * (ndev // 2) * 4),
+                       ("FUSED OK", 6 * ndev * 128),
+                       ("RAINBOW OK", 3 * ndev * 128)):
         want = [ln for out in outs for ln in out.splitlines()
-                if ln.startswith(tag.replace("PROC0", "PROC0"))
-                or ln.startswith(tag.replace("PROC0", "PROC1"))]
-        assert len(want) == 2, (tag, outs)
-        # Same step count, same replicated-params checksum on BOTH
-        # processes (XLA dp x tp step, then the fused local-SGD kernel).
-        assert want[0].split(" ", 1)[1] == want[1].split(" ", 1)[1], want
+                if any(ln.startswith(f"PROC{i} {tag} env_steps")
+                       for i in range(num_procs))]
+        assert len(want) == num_procs, (tag, outs)
+        # Same step count, same replicated-params checksum on EVERY
+        # process (XLA dp x tp step, then the fused local-SGD kernels).
+        body = {ln.split(" ", 1)[1].split(" ", 1)[1] for ln in want}
+        assert len(body) == 1, want
         assert f"env_steps={steps}" in want[0]

@@ -62,3 +62,49 @@ def test_sigkill_and_resume(tmp_path):
     assert resumed_at > 0
     rows = [json.loads(l) for l in open(os.path.join(out2, "scalars.jsonl"))]
     assert rows[-1]["env_steps"] == resumed_at + 2 * 30 * 8
+
+
+def test_drqn_orbax_resume_equals_continue(tmp_path):
+    """resume == continue for the XLA DRQN trainer through the same
+    generic orbax path the CLI uses for --algo drqn (template carry ->
+    mgr.restore -> keep training): bit-for-bit parity with an
+    uninterrupted run (VERDICT r3 item 6)."""
+    import jax
+    import numpy as np
+
+    from merging_gym_tpu.agents import drqn as DR
+    from merging_gym_tpu.core.env import EnvParams
+    from merging_gym_tpu.io.checkpoint import CheckpointManager
+
+    n, steps = 16, 12
+    cfg = DR.DRQNConfig(memory_capacity=32, batch_size=4, seq_len=4,
+                        burn_in=1, opponent="selfplay")
+    ep = EnvParams(max_steps=30)
+    carry0 = DR.drqn_train_init(jax.random.key(0), cfg, ep, n)
+
+    cont = DR.drqn_train_chunk(cfg, ep, carry0, steps)
+    cont = DR.drqn_train_chunk(cfg, ep, cont, steps)
+
+    mid = DR.drqn_train_chunk(cfg, ep, carry0, steps)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, mid, wait=True)
+    fresh = DR.drqn_train_init(jax.random.key(0), cfg, ep, n)
+    restored = mgr.restore(fresh)
+    mgr.close()
+    resumed = DR.drqn_train_chunk(cfg, ep, restored, steps)
+
+    flat_c = jax.tree.leaves_with_path(cont)
+    flat_r = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree.leaves_with_path(resumed)}
+    assert len(flat_c) == len(flat_r)
+
+    def to_np(x):
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype,
+                                                         jax.dtypes.prng_key):
+            x = jax.random.key_data(x)
+        return np.asarray(x)
+
+    for k, a in flat_c:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_array_equal(to_np(a), to_np(flat_r[ks]),
+                                      err_msg=ks)
