@@ -288,6 +288,18 @@ def run(seed, episodes, progress_every=20):
     }
 
 
+TIMEOUT_MODE_STEPS = 1250   # mean episode length above this = timeout mode
+
+
+def _mode(r):
+    """Racing vs timeout equilibrium: the learner is bimodal (seeds
+    either learn to race -- short episodes, wins and collisions -- or
+    sit at the 2,501-step timeout).  Mean episode length separates the
+    modes cleanly (racing seeds ~250-400 steps, timeout seeds ~2,400)."""
+    return ("timeout" if r["env_steps"] / max(r["episodes"], 1)
+            > TIMEOUT_MODE_STEPS else "racing")
+
+
 def aggregate(run_files, repo_file, out):
     runs = []
     for f in run_files:
@@ -295,29 +307,88 @@ def aggregate(run_files, repo_file, out):
             runs.append(json.load(fh))
     runs.sort(key=lambda r: r["seed"])
 
-    def band(key):
-        vals = [r[key] for r in runs]
+    def band(vals):
         return {"mean": float(np.mean(vals)), "std": float(np.std(vals)),
-                "min": float(np.min(vals)), "max": float(np.max(vals))}
+                "min": float(np.min(vals)), "max": float(np.max(vals)),
+                "n": len(vals),
+                "sem": float(np.std(vals) / np.sqrt(max(len(vals), 1)))}
 
-    summary = {k: band(k) for k in ("collision_rate", "win_rate", "reward")}
+    def bands(rs):
+        return {k: band([r[k] for r in rs])
+                for k in ("collision_rate", "win_rate", "reward")}
+
+    summary = bands(runs)
+    # Mode-aware statistics (VERDICT r3 item 3): the overall bands mix
+    # two equilibria, which inflates sigma; the mode fraction plus
+    # within-mode bands carry the comparable signal.
+    modes = {"racing": [r for r in runs if _mode(r) == "racing"],
+             "timeout": [r for r in runs if _mode(r) == "timeout"]}
+    by_mode = {
+        "racing_fraction": len(modes["racing"]) / len(runs),
+        "racing": bands(modes["racing"]) if modes["racing"] else None,
+        "timeout": bands(modes["timeout"]) if modes["timeout"] else None,
+    }
 
     comparison = None
     if repo_file and os.path.exists(repo_file):
         with open(repo_file) as fh:
-            repo = json.load(fh)["summary"]
+            repo_doc = json.load(fh)
+        repo = repo_doc["summary"]
+        repo_runs = repo_doc.get("runs", [])
         comparison = {}
         for k in ("collision_rate", "win_rate", "reward"):
             ref_m, ref_s = summary[k]["mean"], summary[k]["std"]
             rep_m, rep_s = repo[k]["mean"], repo[k]["std"]
+            n_ref, n_rep = summary[k]["n"], repo.get("seeds", 3)
+            # Two tests: the historical band test (combined seed-to-seed
+            # std -- nearly unfalsifiable at small n, kept for
+            # continuity) and the falsifiable standard-error test on the
+            # DIFFERENCE OF MEANS (VERDICT r3 item 3: with >=8 seeds a
+            # side, combined sem_win ~ 0.07 so a real implementation gap
+            # > 0.15 win rate would fail it).
             comb = float(np.hypot(ref_s, rep_s))
+            sem = float(np.hypot(ref_s / np.sqrt(n_ref),
+                                 rep_s / np.sqrt(n_rep)))
             comparison[k] = {
-                "reference_torch": {"mean": ref_m, "std": ref_s},
-                "repo_faithful": {"mean": rep_m, "std": rep_s},
+                "reference_torch": {"mean": ref_m, "std": ref_s,
+                                    "n": n_ref},
+                "repo_faithful": {"mean": rep_m, "std": rep_s, "n": n_rep},
                 "abs_diff": abs(ref_m - rep_m),
                 "combined_std": comb,
                 "within_2sigma": bool(abs(ref_m - rep_m) <= 2 * comb),
+                "combined_sem": sem,
+                "within_2sem": bool(abs(ref_m - rep_m) <= 2 * sem),
             }
+        if repo_runs and all("env_steps" in r for r in repo_runs):
+            rf_repo = (sum(_mode(r) == "racing" for r in repo_runs)
+                       / len(repo_runs))
+            comparison["racing_fraction"] = {
+                "reference_torch": by_mode["racing_fraction"],
+                "repo_faithful": rf_repo,
+                "abs_diff": abs(by_mode["racing_fraction"] - rf_repo),
+            }
+            rep_modes = {m: [r for r in repo_runs if _mode(r) == m]
+                         for m in ("racing", "timeout")}
+            within = {}
+            for m in ("racing", "timeout"):
+                if not modes[m] or not rep_modes[m]:
+                    continue
+                tb, rb = bands(modes[m]), bands(rep_modes[m])
+                within[m] = {}
+                for k in ("collision_rate", "win_rate", "reward"):
+                    sem = float(np.hypot(tb[k]["sem"], rb[k]["sem"]))
+                    within[m][k] = {
+                        "reference_torch": {"mean": tb[k]["mean"],
+                                            "n": tb[k]["n"]},
+                        "repo_faithful": {"mean": rb[k]["mean"],
+                                          "n": rb[k]["n"]},
+                        "abs_diff": abs(tb[k]["mean"] - rb[k]["mean"]),
+                        "combined_sem": sem,
+                        "within_2sem": bool(
+                            abs(tb[k]["mean"] - rb[k]["mean"]) <= 2 * sem)
+                        if sem > 0 else None,
+                    }
+            comparison["within_mode"] = within
 
     doc = {
         "what": ("The reference's own torch Rainbow learner "
@@ -328,6 +399,7 @@ def aggregate(run_files, repo_file, out):
                  "the repo's faithful Rainbow config."),
         "runs": [{k: v for k, v in r.items() if k != "curves"} for r in runs],
         "summary": summary,
+        "by_mode": by_mode,
         "comparison": comparison,
     }
     with open(out, "w") as fh:
@@ -335,7 +407,8 @@ def aggregate(run_files, repo_file, out):
         fh.write("\n")
     curves_path = os.path.splitext(out)[0] + "_curves.json"
     with open(curves_path, "w") as fh:
-        json.dump({r["seed"]: r["curves"] for r in runs}, fh)
+        json.dump({r["seed"]: r["curves"] for r in runs if "curves" in r},
+                  fh)
     print(json.dumps({"summary": summary, "comparison": comparison},
                      indent=1))
 
