@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--episodes", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--summary-only", action="store_true")
+    ap.add_argument("--max-chunks", type=int, default=1000,
+                    help="safety cap on 2,500-step chunks (a timeout-mode "
+                         "4,000-episode run needs ~4,000 chunks)")
     ap.add_argument("--aggregate", nargs="*", default=None)
     args = ap.parse_args()
 
@@ -102,7 +105,7 @@ def main():
         if chunk % 20 == 0:
             print(json.dumps(scalars), flush=True)
         chunk += 1
-        if chunk > 1000:
+        if chunk > args.max_chunks:
             break
     if writer:
         writer.close()
