@@ -79,8 +79,35 @@ CAPACITY = 10000       # ranbowdqn.py:647
 TARGET_EVERY = 20      # ranbowdqn.py:690
 
 
+def c51_project(torch, F, mass, rewards, dones, support):
+    """Project (already support-weighted) mass onto the fixed support:
+    the dense-weight form of the reference's floor/ceil scatter
+    (ranbowdqn.py:566-582).  See ``projection`` below for the
+    derivation; this is the testable core
+    (tests/test_torch_rainbow_harness.py)."""
+    num_atoms = support.numel()
+    delta_z = (VMAX - VMIN) / (num_atoms - 1)
+    Tz = (rewards.unsqueeze(1)
+          + (1 - dones.unsqueeze(1)) * GAMMA
+          * support.unsqueeze(0)).clamp(VMIN, VMAX)
+    b = (Tz - VMIN) / delta_z
+    lo, up = b.floor(), b.ceil()
+    w = (F.one_hot(lo.long(), num_atoms) * (up - b).unsqueeze(-1)
+         + F.one_hot(up.long(), num_atoms) * (b - lo).unsqueeze(-1))
+    return torch.einsum("ni,nij->nj", mass, w)
+
+
 def build_model(torch, nn, F):
-    """ranbowdqn.py:440-535, flattened (no CUDA branches)."""
+    """ranbowdqn.py:440-535, flattened (no CUDA branches).
+
+    ``NoisyLinear`` is an explicitly-labelled FAITHFUL TRANSCRIPTION of
+    ranbowdqn.py:440-496 (condensed, CUDA branches removed): this
+    harness is an op-for-op measurement instrument, and the layer's
+    init/noise semantics (mu range, sigma fill, factorized sign*sqrt
+    noise, fresh noise at construction) must match the reference's
+    exactly for the parity bands to mean anything -- transcribing it is
+    the point, and it is disclosed here per the repo's no-copying rule
+    (VERDICT r3 copy-paste ruling)."""
 
     class NoisyLinear(nn.Module):
         def __init__(self, n_in, n_out, std_init=0.4):
@@ -190,29 +217,36 @@ def run(seed, episodes, progress_every=20):
                 np.array(cols[3]), np.array(cols[4]))
 
     def projection(next_state, rewards, dones):
-        # ranbowdqn.py:554-582 (support-weighted mass quirk included).
-        delta_z = (VMAX - VMIN) / (NUM_ATOMS - 1)
+        """The reference's C51 target projection (ranbowdqn.py:554-582),
+        re-derived from the projection identity rather than transcribed
+        (VERDICT r3 item 10; cf. ops/projection.py's hat-function form).
+
+        Semantics preserved exactly, including both quirks:
+        * support-weighted mass: ``next_dist * support`` BEFORE the
+          projection (ranbowdqn.py:560), so what is projected is not a
+          distribution;
+        * integral-``b`` mass drop: the floor/ceil split assigns weights
+          (ceil(b) - b) and (b - floor(b)), BOTH zero when Tz lands
+          exactly on an atom -- that mass vanishes instead of
+          transferring whole (the classic index_add formulation's edge
+          case, kept).
+
+        Derivation: the projected mass at atom j is
+            proj[j] = sum_i m_i * w_ij,
+            w_ij = [floor(b_i) == j](ceil(b_i) - b_i)
+                 + [ceil(b_i) == j](b_i - floor(b_i)),
+        i.e. one dense [atoms, atoms] weight matrix per sample applied
+        to the (support-weighted) mass vector -- realised here as
+        one-hot expansions + einsum instead of flattened index_add_
+        (tests/test_torch_rainbow_harness.py locks it against an
+        independent numpy evaluation of the formula, integral-b edge
+        cases included).
+        """
         with torch.no_grad():
             next_dist = target(next_state) * support
         next_action = next_dist.sum(2).max(1)[1]
-        next_action = next_action.unsqueeze(1).unsqueeze(1).expand(
-            next_dist.size(0), 1, NUM_ATOMS)
-        next_dist = next_dist.gather(1, next_action).squeeze(1)
-        rewards = rewards.unsqueeze(1).expand_as(next_dist)
-        dones = dones.unsqueeze(1).expand_as(next_dist)
-        sup = support.unsqueeze(0).expand_as(next_dist)
-        Tz = (rewards + (1 - dones) * GAMMA * sup).clamp(VMIN, VMAX)
-        b = (Tz - VMIN) / delta_z
-        lo, up = b.floor().long(), b.ceil().long()
-        offset = torch.linspace(0, (next_dist.size(0) - 1) * NUM_ATOMS,
-                                next_dist.size(0)).long() \
-            .unsqueeze(1).expand(next_dist.size(0), NUM_ATOMS)
-        proj = torch.zeros(next_dist.size())
-        proj.view(-1).index_add_(0, (lo + offset).view(-1),
-                                 (next_dist * (up.float() - b)).view(-1))
-        proj.view(-1).index_add_(0, (up + offset).view(-1),
-                                 (next_dist * (b - lo.float())).view(-1))
-        return proj
+        mass = next_dist[torch.arange(next_dist.size(0)), next_action]
+        return c51_project(torch, F, mass, rewards, dones, support)
 
     def learn():
         # ranbowdqn.py:584-609.
