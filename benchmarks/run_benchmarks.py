@@ -256,6 +256,33 @@ def bench_drqn(num_envs, steps, chunks):
     _report("drqn-train", num_envs * steps * chunks / dt, "env-steps/s")
 
 
+def bench_drqn_fused(num_envs, steps, chunks, learn_batch=None):
+    """Single-kernel DRQN trainer (ops.fused_drqn): recurrent actor +
+    env + sequence-window ring + truncated-BPTT learner + Adam as ONE
+    pallas_call per chunk (round 4)."""
+    from merging_gym_tpu.agents import dqn as D
+    from merging_gym_tpu.agents.drqn import DRQNConfig
+    from merging_gym_tpu.core.env import EnvParams
+    from merging_gym_tpu.ops import fused_drqn as FD
+
+    cfg = DRQNConfig(memory_capacity=4 * num_envs, opponent=D.OPP_SELFPLAY)
+    env_params = EnvParams()
+    carry = FD.fused_drqn_init(jax.random.key(0), cfg, env_params, num_envs,
+                               learn_batch=learn_batch)
+    carry = FD.fused_drqn_chunk(cfg, env_params, carry, steps, seed=0)
+    float(jnp.sum(carry["p"][0]))
+    t0 = time.perf_counter()
+    for k in range(chunks):
+        carry = FD.fused_drqn_chunk(cfg, env_params, carry, steps,
+                                    seed=1 + k)
+        float(jnp.sum(carry["p"][0])); float(jnp.sum(carry["env"]))
+    dt = time.perf_counter() - t0
+    tag = f"-b{learn_batch}" if learn_batch else ""
+    _report(f"drqn-train-fused-{num_envs}{tag}",
+            num_envs * steps * chunks / dt,
+            "env-steps/s", learns_per_sec=round(steps * chunks / dt, 1))
+
+
 def bench_rainbow(num_envs, steps, chunks):
     from merging_gym_tpu.agents import rainbow as R
     from merging_gym_tpu.core.env import EnvParams
@@ -347,6 +374,12 @@ def main():
             bench_dqn_fused(16384, 4096, 5, learn_batch=128)
     bench_hdqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     bench_drqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
+    if jax.default_backend() == "tpu":  # in-kernel PRNG needs real hardware
+        bench_drqn_fused(1024, 512 if q else 4096, 2 if q else 5,
+                         learn_batch=128)
+        if not q:
+            bench_drqn_fused(4096, 4096, 3, learn_batch=128)
+            bench_drqn_fused(1024, 4096, 3)
     bench_rainbow(256 if q else 1024, 100 if q else 200, 2 if q else 5)
     if jax.default_backend() == "tpu":  # in-kernel PRNG needs real hardware
         bench_hdqn_fused(1024, 512 if q else 2000, 2 if q else 5)
