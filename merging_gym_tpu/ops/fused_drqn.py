@@ -143,18 +143,29 @@ def _cell_fwd(p, x, h, c):
     return cache, q, h_new, c_new
 
 
-def _unroll_fwd(p, obs_seq, L, *, with_cache):
-    """Zero-start unroll over obs_seq [L+1][IN, B] -> (qs, caches)."""
-    B = obs_seq[0].shape[1]
+def _tp_forward_q(tp, X, L, B):
+    """Target-net forward in the same batched-over-timesteps structure:
+    one [rows, (L+1)B] matmul per dense layer, only ``whhT @ h``
+    sequential.  X: [IN, (L+1)B] timestep-blocked obs."""
+    w1T, b1, w2T, b2, wihT, bih, whhT, bhh, w3T, b3, w4T, b4 = tp
+    Z1 = _mm(w1T, X) + b1
+    X2 = _mm(w2T, jnp.maximum(Z1, 0.0)) + b2
+    Gin = _mm(wihT, X2) + bih
     h = jnp.zeros((HID, B), jnp.float32)
     c = jnp.zeros((HID, B), jnp.float32)
-    qs, caches = [], []
-    for t in range(L + 1):
-        cache, q, h, c = _cell_fwd(p, obs_seq[t], h, c)
-        qs.append(q)
-        if with_cache:
-            caches.append(cache)
-    return qs, caches
+    h_news = []
+    for tt in range(L + 1):
+        g_pre = Gin[:, tt * B:(tt + 1) * B] + _mm(whhT, h) + bhh
+        gi = jax.nn.sigmoid(g_pre[0:HID])
+        gf = jax.nn.sigmoid(g_pre[HID:2 * HID])
+        gg = jnp.tanh(g_pre[2 * HID:3 * HID])
+        go = jax.nn.sigmoid(g_pre[3 * HID:4 * HID])
+        c = gf * c + gi * gg
+        h = go * jnp.tanh(c)
+        h_news.append(h)
+    H = jnp.concatenate(h_news, axis=1)
+    H3 = jnp.maximum(_mm(w3T, H) + b3, 0.0)
+    return _mm(w4T, H3) + b4
 
 
 def drqn_learn_math(p, tp, m, v, batch, t, *, gamma, lr, num_actions,
@@ -169,15 +180,54 @@ def drqn_learn_math(p, tp, m, v, batch, t, *, gamma, lr, num_actions,
     valid positions) -- locked against jax.grad + optax.adam by
     tests/test_fused_drqn.py.  Pure jnp on env-last [rows, lanes]
     layout; shared by the kernel and the CPU parity test.
+
+    Latency structure (the roofline's finding, docs/BENCHMARKS.md):
+    everything that does not depend on the recurrent state is batched
+    over timesteps as single [rows, (L+1)*B] matmuls -- fc1/fc2, the
+    input-side gate contribution wihT@x2, the fc3/fc4 heads, and all
+    param-gradient contractions -- so the only SEQUENTIAL matmuls are
+    the L+1 forward ``whhT @ h`` and L backward ``whhT^T @ da`` issues
+    (33 for L=16, down from ~200 in the naive per-timestep form).
     """
     L = seq_len
     w1T, b1, w2T, b2, wihT, bih, whhT, bhh, w3T, b3, w4T, b4 = p
     B = batch["action"].shape[1]
+    LB = L * B
 
-    qs, caches = _unroll_fwd(p, batch["obs"], L, with_cache=True)
-    qts, _ = _unroll_fwd(tp, batch["obs"], L, with_cache=False)
+    # ---- batched input-side forward over all L+1 timesteps ---------------
+    X = jnp.concatenate(batch["obs"], axis=1)           # [IN, (L+1)B]
+    Z1 = _mm(w1T, X) + b1
+    H1 = jnp.maximum(Z1, 0.0)
+    X2 = _mm(w2T, H1) + b2                              # no ReLU (fc2)
+    Gin = _mm(wihT, X2) + bih                           # [4H, (L+1)B]
 
-    onehots, coeffs = [], []
+    # ---- sequential recurrence (the only t-dependence) -------------------
+    h = jnp.zeros((HID, B), jnp.float32)
+    c = jnp.zeros((HID, B), jnp.float32)
+    h_news, cells = [], []
+    for tt in range(L + 1):
+        g_pre = Gin[:, tt * B:(tt + 1) * B] + _mm(whhT, h) + bhh
+        gi = jax.nn.sigmoid(g_pre[0:HID])
+        gf = jax.nn.sigmoid(g_pre[HID:2 * HID])
+        gg = jnp.tanh(g_pre[2 * HID:3 * HID])
+        go = jax.nn.sigmoid(g_pre[3 * HID:4 * HID])
+        c_new = gf * c + gi * gg
+        tc = jnp.tanh(c_new)
+        h_new = go * tc
+        cells.append((gi, gf, gg, go, c, tc))
+        h_news.append(h_new)
+        h, c = h_new, c_new
+
+    # ---- batched heads over all timesteps --------------------------------
+    H = jnp.concatenate(h_news, axis=1)                 # [HID, (L+1)B]
+    Z3 = _mm(w3T, H) + b3
+    H3 = jnp.maximum(Z3, 0.0)
+    Q = _mm(w4T, H3) + b4                               # [A, (L+1)B]
+    Qt = _tp_forward_q(tp, X, L, B)                     # target net q's
+
+    qs = [Q[:, tt * B:(tt + 1) * B] for tt in range(L + 1)]
+    qts = [Qt[:, tt * B:(tt + 1) * B] for tt in range(L + 1)]
+
     # Masks: past burn-in and not after an in-window episode end
     # (agents.drqn.drqn_loss).
     ended = jnp.zeros((B,), jnp.float32)
@@ -189,6 +239,7 @@ def drqn_learn_math(p, tp, m, v, batch, t, *, gamma, lr, num_actions,
     msum = jnp.maximum(sum(jnp.sum(mk) for mk in masks), 1.0)
 
     loss = jnp.zeros((), jnp.float32)
+    dqs = []
     for tt in range(L):
         a_oh = jnp.stack([(batch["action"][tt] == j).astype(jnp.float32)
                           for j in range(num_actions)])            # [A, B]
@@ -201,52 +252,55 @@ def drqn_learn_math(p, tp, m, v, batch, t, *, gamma, lr, num_actions,
                   + gamma * bootstrap * (1.0 - batch["done"][tt]))
         diff = q_sel - target
         loss = loss + jnp.sum(masks[tt] * diff * diff)
-        onehots.append(a_oh)
-        coeffs.append((2.0 / msum) * masks[tt] * diff)             # dL/dq_sel
+        dqs.append(a_oh * ((2.0 / msum) * masks[tt] * diff))       # dL/dq[t]
     loss = loss / msum
 
-    # Backward: reverse-time BPTT.  Step L's head gets no gradient (its q
-    # feeds only the stop-gradient bootstrap), and h_L is unused, so the
-    # recurrence runs t = L-1 .. 0.
-    g = [jnp.zeros_like(a) for a in p]
+    # ---- backward: batched head gradients, sequential LSTM recurrence ----
+    # Step L's head gets no gradient (its q feeds only the stop-gradient
+    # bootstrap) and h_L is unused, so head grads cover t < L only.
+    Dq = jnp.concatenate(dqs, axis=1)                              # [A, LB]
+    DH3 = _mm_tn(w4T, Dq)
+    DZ3 = DH3 * (Z3[:, :LB] > 0.0).astype(jnp.float32)
+    Dh_head = _mm_tn(w3T, DZ3)                                     # [HID, LB]
+
     dh_next = jnp.zeros((HID, B), jnp.float32)
     dc_next = jnp.zeros((HID, B), jnp.float32)
+    das = [None] * L
     for tt in reversed(range(L)):
-        x, z1, x2, gi, gf, gg, go, c_prev, tc, h_prev, h_new, z3, h3 = \
-            caches[tt]
-        dq = onehots[tt] * coeffs[tt]                              # [A, B]
-        dh3 = _mm_tn(w4T, dq)
-        dz3 = dh3 * (z3 > 0.0).astype(jnp.float32)
-        dh = _mm_tn(w3T, dz3) + dh_next
+        gi, gf, gg, go, c_prev, tc = cells[tt]
+        dh = Dh_head[:, tt * B:(tt + 1) * B] + dh_next
         do = dh * tc
         dc = dh * go * (1.0 - tc * tc) + dc_next
-        dgi = dc * gg
-        dgf = dc * c_prev
-        dgg = dc * gi
-        dc_next = dc * gf
         da = jnp.concatenate([
-            dgi * gi * (1.0 - gi),
-            dgf * gf * (1.0 - gf),
-            dgg * (1.0 - gg * gg),
+            dc * gg * gi * (1.0 - gi),
+            dc * c_prev * gf * (1.0 - gf),
+            dc * gi * (1.0 - gg * gg),
             do * go * (1.0 - go),
         ], axis=0)                                                 # [4H, B]
-        dx2 = _mm_tn(wihT, da)
+        das[tt] = da
         dh_next = _mm_tn(whhT, da)
-        h1 = jnp.maximum(z1, 0.0)
-        dz1 = _mm_tn(w2T, dx2) * (z1 > 0.0).astype(jnp.float32)
-        g[10] = g[10] + _mm_nt(dq, h3)
-        g[11] = g[11] + jnp.sum(dq, axis=1, keepdims=True)
-        g[8] = g[8] + _mm_nt(dz3, h_new)
-        g[9] = g[9] + jnp.sum(dz3, axis=1, keepdims=True)
-        da_sum = jnp.sum(da, axis=1, keepdims=True)
-        g[4] = g[4] + _mm_nt(da, x2)
-        g[5] = g[5] + da_sum
-        g[6] = g[6] + _mm_nt(da, h_prev)
-        g[7] = g[7] + da_sum
-        g[2] = g[2] + _mm_nt(dx2, h1)
-        g[3] = g[3] + jnp.sum(dx2, axis=1, keepdims=True)
-        g[0] = g[0] + _mm_nt(dz1, x)
-        g[1] = g[1] + jnp.sum(dz1, axis=1, keepdims=True)
+        dc_next = dc * gf
+
+    # ---- batched parameter-gradient contractions -------------------------
+    DA = jnp.concatenate(das, axis=1)                              # [4H, LB]
+    Hprev = jnp.concatenate(
+        [jnp.zeros((HID, B), jnp.float32)] + h_news[:L - 1], axis=1)
+    DX2 = _mm_tn(wihT, DA)                                         # [HID, LB]
+    DZ1 = _mm_tn(w2T, DX2) * (Z1[:, :LB] > 0.0).astype(jnp.float32)
+    da_sum = jnp.sum(DA, axis=1, keepdims=True)
+    g = [None] * 12
+    g[0] = _mm_nt(DZ1, X[:, :LB])
+    g[1] = jnp.sum(DZ1, axis=1, keepdims=True)
+    g[2] = _mm_nt(DX2, H1[:, :LB])
+    g[3] = jnp.sum(DX2, axis=1, keepdims=True)
+    g[4] = _mm_nt(DA, X2[:, :LB])
+    g[5] = da_sum
+    g[6] = _mm_nt(DA, Hprev)
+    g[7] = da_sum
+    g[8] = _mm_nt(DZ3, H[:, :LB])
+    g[9] = jnp.sum(DZ3, axis=1, keepdims=True)
+    g[10] = _mm_nt(Dq, H3[:, :LB])
+    g[11] = jnp.sum(Dq, axis=1, keepdims=True)
 
     # Adam, bias-corrected; pow via exp/log (Mosaic has no scalar pow).
     tf = t.astype(jnp.float32)
