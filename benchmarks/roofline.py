@@ -139,21 +139,24 @@ def main():
 
     # ---- fused DRQN trainer (round 4) -----------------------------------
     dr = 2 * (10 * 200 + 200 * 16 + 2 * 16 * 64 + 16 * 16 + 16 * 5)
-    envs, B, L = 1024, 128, 16
-    actor = 2 * dr * envs + 2 * LSTM_ELEM_VOPS * envs
-    learner = (L + 1) * 4 * dr * B              # eval fwd + target fwd + bwd~2x
-    adam = 10 * 23317
-    row(f"fused DRQN trainer {envs:,} envs (learn_batch {B}, 4,096-step)",
-        13.7e6, flops=actor + learner,
-        vops=(ENV_STEP_VOPS + 2 * ACTOR_RNG_VOPS
-              + 2 * LSTM_ELEM_VOPS) * envs
-             + (L + 1) * 3 * LSTM_ELEM_VOPS * B + adam,
-        bytes_=0, lanes=envs, launch=4096, binding="matmul latency",
-        note="74.6 us/grid-step but only 2.4% MXU: the learner is ~200 "
-             "DEPENDENT small-matmul issues per step (17-step BPTT fwd "
-             "eval+target + 16-step bwd through [<=200,<=64]x[.,128] "
-             "shapes) at ~0.4 us each -- matmul LATENCY bound, not "
-             "throughput; dispatch and VPU are minor")
+    L = 16
+    for envs, B, rate in ((1024, 128, 19.6e6), (4096, 128, 67.6e6)):
+        actor = 2 * dr * envs + 2 * LSTM_ELEM_VOPS * envs
+        learner = (L + 1) * 4 * dr * B          # eval fwd + target fwd + bwd~2x
+        adam = 10 * 23317
+        row(f"fused DRQN trainer {envs:,} envs (learn_batch {B}, "
+            "4,096-step)",
+            rate, flops=actor + learner,
+            vops=(ENV_STEP_VOPS + 2 * ACTOR_RNG_VOPS
+                  + 2 * LSTM_ELEM_VOPS) * envs
+                 + (L + 1) * 3 * LSTM_ELEM_VOPS * B + adam,
+            bytes_=0, lanes=envs, launch=4096, binding="matmul latency",
+            note="after batching every timestep-independent matmul over "
+                 "the unroll (one [rows, 17B] issue each), only the 33 "
+                 "sequential whh issues remain: ~52 us of the 61 us "
+                 "step at 4,096 envs is still the dependent-chain "
+                 "latency + the actor; wider LSTMs would raise MXU "
+                 "occupancy at ~flat wall time")
 
     # ---- fused HDQN trainer ---------------------------------------------
     lo = mlp_flops([11, 200, 100, 5])
