@@ -34,7 +34,12 @@ import time
 NUM_ENVS = 4096
 STEPS_PER_CHUNK = 512          # XLA scan path (CPU fallback)
 CHUNKS_PER_REP = 4
-FUSED_STEPS_PER_LAUNCH = 16384  # TPU fused kernel: one long launch per rep
+# TPU fused kernel: one long launch per rep.  Longer launches amortize
+# the ~25 ms per-launch dispatch (the headline's largest cost share,
+# docs/BENCHMARKS.md roofline); 20,480 steps (~5 GB of trajectories)
+# measured 1.17B vs 1.09B at 16,384 in the same session, but sits near
+# the HBM output budget, so OOM falls back to the next length.
+FUSED_LAUNCH_OPTS = (20480, 16384)
 FUSED_UNROLL = 8
 REPS = 5
 REFERENCE_STEPS_PER_SEC = 1e3  # BASELINE.md: implied 1e2-1e3 on CPU
@@ -65,20 +70,27 @@ def measure(force_cpu: bool) -> float:
         # per-step program -- sweep in docs/BENCHMARKS.md).
         from merging_gym_tpu.ops.fused_rollout import fused_rollout
 
-        def run_fused(seed):
-            return fused_rollout(FUSED_STEPS_PER_LAUNCH, NUM_ENVS, seed=seed,
-                                 env_params=params, unroll=FUSED_UNROLL)
+        for launch_steps in FUSED_LAUNCH_OPTS:
+            def run_fused(seed):
+                return fused_rollout(launch_steps, NUM_ENVS, seed=seed,
+                                     env_params=params, unroll=FUSED_UNROLL)
 
-        traj = run_fused(0)
-        float(jnp.sum(traj["rewards"]))  # warmup + forced sync
-        rates = []
-        for seed in range(1, REPS + 1):
-            t0 = time.perf_counter()
-            traj = run_fused(seed)
-            float(jnp.sum(traj["rewards"]))  # forced readback fence
-            dt = time.perf_counter() - t0
-            rates.append(NUM_ENVS * FUSED_STEPS_PER_LAUNCH / dt)
-        return statistics.median(rates)
+            try:
+                traj = run_fused(0)
+                float(jnp.sum(traj["rewards"]))  # warmup + forced sync
+            except Exception as e:  # HBM budget varies; try next length
+                sys.stderr.write(f"launch {launch_steps}: "
+                                 f"{type(e).__name__}, trying shorter\n")
+                continue
+            rates = []
+            for seed in range(1, REPS + 1):
+                t0 = time.perf_counter()
+                traj = run_fused(seed)
+                float(jnp.sum(traj["rewards"]))  # forced readback fence
+                dt = time.perf_counter() - t0
+                rates.append(NUM_ENVS * launch_steps / dt)
+            return statistics.median(rates)
+        raise RuntimeError("all fused launch lengths failed")
 
     def policy(ps, obs, key):
         a = jax.random.randint(key, (obs.shape[0], 2), -1, C.NUM_ACTIONS)

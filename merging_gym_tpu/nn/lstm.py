@@ -60,14 +60,18 @@ def lstm_zero_carry(batch_shape, hidden_size=LSTM_HIDDEN, dtype=jnp.float32):
     return (z, z)
 
 
-def drqn_init(key, num_inputs, num_actions, dtype=jnp.float32):
+def drqn_init(key, num_inputs, num_actions, dtype=jnp.float32,
+              hidden=LSTM_HIDDEN):
+    """``hidden`` widens the LSTM/fc3 trunk past the reference's 16
+    (main.py:52-66) for the production width-scaling study
+    (benchmarks/drqn_width.py); the default is reference-faithful."""
     ks = jax.random.split(key, 5)
     return {
         "fc1": linear_params(ks[0], num_inputs, 200, "uniform01", dtype),
-        "fc2": linear_params(ks[1], 200, LSTM_HIDDEN, "uniform01", dtype),
-        "lstm": lstm_cell_init(ks[2], LSTM_HIDDEN, LSTM_HIDDEN, dtype),
-        "fc3": linear_params(ks[3], LSTM_HIDDEN, LSTM_HIDDEN, "torch", dtype),
-        "fc4": linear_params(ks[4], LSTM_HIDDEN, num_actions, "torch", dtype),
+        "fc2": linear_params(ks[1], 200, hidden, "uniform01", dtype),
+        "lstm": lstm_cell_init(ks[2], hidden, hidden, dtype),
+        "fc3": linear_params(ks[3], hidden, hidden, "torch", dtype),
+        "fc4": linear_params(ks[4], hidden, num_actions, "torch", dtype),
     }
 
 

@@ -143,29 +143,56 @@ def _cell_fwd(p, x, h, c):
     return cache, q, h_new, c_new
 
 
-def _tp_forward_q(tp, X, L, B):
-    """Target-net forward in the same batched-over-timesteps structure:
-    one [rows, (L+1)B] matmul per dense layer, only ``whhT @ h``
-    sequential.  X: [IN, (L+1)B] timestep-blocked obs."""
-    w1T, b1, w2T, b2, wihT, bih, whhT, bhh, w3T, b3, w4T, b4 = tp
-    Z1 = _mm(w1T, X) + b1
-    X2 = _mm(w2T, jnp.maximum(Z1, 0.0)) + b2
-    Gin = _mm(wihT, X2) + bih
-    h = jnp.zeros((HID, B), jnp.float32)
-    c = jnp.zeros((HID, B), jnp.float32)
-    h_news = []
-    for tt in range(L + 1):
-        g_pre = Gin[:, tt * B:(tt + 1) * B] + _mm(whhT, h) + bhh
-        gi = jax.nn.sigmoid(g_pre[0:HID])
-        gf = jax.nn.sigmoid(g_pre[HID:2 * HID])
-        gg = jnp.tanh(g_pre[2 * HID:3 * HID])
-        go = jax.nn.sigmoid(g_pre[3 * HID:4 * HID])
-        c = gf * c + gi * gg
-        h = go * jnp.tanh(c)
-        h_news.append(h)
-    H = jnp.concatenate(h_news, axis=1)
-    H3 = jnp.maximum(_mm(w3T, H) + b3, 0.0)
-    return _mm(w4T, H3) + b4
+def _gates_tail(g, c):
+    """LSTM elementwise tail shared by the paired forward: gate block
+    [4H, n] + previous cell -> (h_new, c_new)."""
+    gi = jax.nn.sigmoid(g[0:HID])
+    gf = jax.nn.sigmoid(g[HID:2 * HID])
+    gg = jnp.tanh(g[2 * HID:3 * HID])
+    go = jax.nn.sigmoid(g[3 * HID:4 * HID])
+    c_new = gf * c + gi * gg
+    return go * jnp.tanh(c_new), c_new
+
+
+def _cell_fwd_pair(p, po, x1, x2, h1, c1, h2, c2):
+    """Both seats' recurrent actor forwards (different param sets) as ONE
+    block-diagonal dependent chain: 5 matmul issues instead of 2x5.
+
+    Zero blocks contribute exact f32 zeros, so each seat's q/h/c is
+    bit-identical to its own _cell_fwd; used for the frozen-opponent
+    path (the selfplay path lane-concats instead -- same weights).
+    """
+    xb = jnp.concatenate([x1, x2], axis=0)
+    z1 = (_mm(_blockdiag(p[0], po[0]), xb)
+          + jnp.concatenate([p[1], po[1]], 0))
+    h1b = jnp.maximum(z1, 0.0)
+    x2b = (_mm(_blockdiag(p[2], po[2]), h1b)
+           + jnp.concatenate([p[3], po[3]], 0))
+    hcat = jnp.concatenate([h1, h2], axis=0)
+    g = (_mm(_blockdiag(p[4], po[4]), x2b)
+         + jnp.concatenate([p[5], po[5]], 0)
+         + _mm(_blockdiag(p[6], po[6]), hcat)
+         + jnp.concatenate([p[7], po[7]], 0))           # [8H, n]
+    h1n, c1n = _gates_tail(g[0:4 * HID], c1)
+    h2n, c2n = _gates_tail(g[4 * HID:], c2)
+    z3 = (_mm(_blockdiag(p[8], po[8]), jnp.concatenate([h1n, h2n], 0))
+          + jnp.concatenate([p[9], po[9]], 0))
+    h3 = jnp.maximum(z3, 0.0)
+    qb = (_mm(_blockdiag(p[10], po[10]), h3)
+          + jnp.concatenate([p[11], po[11]], 0))
+    na = p[10].shape[0]
+    return qb[0:na], h1n, c1n, qb[na:], h2n, c2n
+
+
+def _blockdiag(a, b):
+    """[[a, 0], [0, b]] -- zero blocks contribute exact f32 zeros to any
+    contraction, so a block-diagonal matmul is bit-identical to the two
+    separate matmuls while issuing as ONE MXU op (the latency lever --
+    see drqn_learn_math's docstring)."""
+    za = jnp.zeros((a.shape[0], b.shape[1]), jnp.float32)
+    zb = jnp.zeros((b.shape[0], a.shape[1]), jnp.float32)
+    return jnp.concatenate([jnp.concatenate([a, za], axis=1),
+                            jnp.concatenate([zb, b], axis=1)], axis=0)
 
 
 def drqn_learn_math(p, tp, m, v, batch, t, *, gamma, lr, num_actions,
@@ -185,48 +212,84 @@ def drqn_learn_math(p, tp, m, v, batch, t, *, gamma, lr, num_actions,
     everything that does not depend on the recurrent state is batched
     over timesteps as single [rows, (L+1)*B] matmuls -- fc1/fc2, the
     input-side gate contribution wihT@x2, the fc3/fc4 heads, and all
-    param-gradient contractions -- so the only SEQUENTIAL matmuls are
-    the L+1 forward ``whhT @ h`` and L backward ``whhT^T @ da`` issues
-    (33 for L=16, down from ~200 in the naive per-timestep form).
+    param-gradient contractions -- AND the eval and target nets (two
+    independent recurrences over the same obs) are fused into
+    block-diagonal issues, so the only SEQUENTIAL matmuls are the L+1
+    fused forward ``[[whh,0],[0,t_whh]] @ [h; h_t]`` and L backward
+    ``whhT^T @ da`` issues (33 for L=16, down from 50 when the target
+    recurrence ran as its own chain and ~200 in the naive
+    per-timestep form).  Zero blocks contribute exact f32 zeros, so
+    every fused issue is bit-identical to its separate form.
     """
     L = seq_len
     w1T, b1, w2T, b2, wihT, bih, whhT, bhh, w3T, b3, w4T, b4 = p
+    (tw1T, tb1, tw2T, tb2, twihT, tbih, twhhT, tbhh,
+     tw3T, tb3, tw4T, tb4) = tp
     B = batch["action"].shape[1]
     LB = L * B
+    R1, R2 = w1T.shape[0], w2T.shape[0]                 # fc1/fc2 widths
 
-    # ---- batched input-side forward over all L+1 timesteps ---------------
+    # ---- batched input-side forward over all L+1 timesteps: eval and
+    # target nets ride one block-diagonal issue per layer ------------------
     X = jnp.concatenate(batch["obs"], axis=1)           # [IN, (L+1)B]
-    Z1 = _mm(w1T, X) + b1
-    H1 = jnp.maximum(Z1, 0.0)
-    X2 = _mm(w2T, H1) + b2                              # no ReLU (fc2)
-    Gin = _mm(wihT, X2) + bih                           # [4H, (L+1)B]
+    Xb = jnp.concatenate([X, X], axis=0)                # [2*IN, (L+1)B]
+    Z1b = _mm(_blockdiag(w1T, tw1T), Xb) + jnp.concatenate([b1, tb1], 0)
+    H1b = jnp.maximum(Z1b, 0.0)
+    X2b = (_mm(_blockdiag(w2T, tw2T), H1b)
+           + jnp.concatenate([b2, tb2], 0))             # no ReLU (fc2)
+    Ginb = (_mm(_blockdiag(wihT, twihT), X2b)
+            + jnp.concatenate([bih, tbih], 0))          # [8H, (L+1)B]
+    Z1, H1, X2 = Z1b[0:R1], H1b[0:R1], X2b[0:R2]        # eval rows (backward)
 
-    # ---- sequential recurrence (the only t-dependence) -------------------
-    h = jnp.zeros((HID, B), jnp.float32)
+    # ---- sequential recurrence (the only t-dependence); both nets in one
+    # [8H, 2H] x [2H, B] issue per timestep --------------------------------
+    Wb = _blockdiag(whhT, twhhT)
+    bhhb = jnp.concatenate([bhh, tbhh], axis=0)
+    hb = jnp.zeros((2 * HID, B), jnp.float32)
     c = jnp.zeros((HID, B), jnp.float32)
-    h_news, cells = [], []
+    ct = jnp.zeros((HID, B), jnp.float32)
+    h_news, th_news, cells = [], [], []
     for tt in range(L + 1):
-        g_pre = Gin[:, tt * B:(tt + 1) * B] + _mm(whhT, h) + bhh
-        gi = jax.nn.sigmoid(g_pre[0:HID])
-        gf = jax.nn.sigmoid(g_pre[HID:2 * HID])
-        gg = jnp.tanh(g_pre[2 * HID:3 * HID])
-        go = jax.nn.sigmoid(g_pre[3 * HID:4 * HID])
+        gb = Ginb[:, tt * B:(tt + 1) * B] + _mm(Wb, hb) + bhhb
+        gi = jax.nn.sigmoid(gb[0:HID])
+        gf = jax.nn.sigmoid(gb[HID:2 * HID])
+        gg = jnp.tanh(gb[2 * HID:3 * HID])
+        go = jax.nn.sigmoid(gb[3 * HID:4 * HID])
         c_new = gf * c + gi * gg
         tc = jnp.tanh(c_new)
         h_new = go * tc
         cells.append((gi, gf, gg, go, c, tc))
         h_news.append(h_new)
-        h, c = h_new, c_new
+        c = c_new
+        tgi = jax.nn.sigmoid(gb[4 * HID:5 * HID])
+        tgf = jax.nn.sigmoid(gb[5 * HID:6 * HID])
+        tgg = jnp.tanh(gb[6 * HID:7 * HID])
+        tgo = jax.nn.sigmoid(gb[7 * HID:8 * HID])
+        ct = tgf * ct + tgi * tgg
+        th = tgo * jnp.tanh(ct)
+        th_news.append(th)
+        hb = jnp.concatenate([h_new, th], axis=0)
 
-    # ---- batched heads over all timesteps --------------------------------
+    # ---- batched heads over all timesteps (both nets) --------------------
     H = jnp.concatenate(h_news, axis=1)                 # [HID, (L+1)B]
-    Z3 = _mm(w3T, H) + b3
-    H3 = jnp.maximum(Z3, 0.0)
-    Q = _mm(w4T, H3) + b4                               # [A, (L+1)B]
-    Qt = _tp_forward_q(tp, X, L, B)                     # target net q's
+    Ht = jnp.concatenate(th_news, axis=1)
+    Hb2 = jnp.concatenate([H, Ht], axis=0)              # [2H, (L+1)B]
+    Z3b = _mm(_blockdiag(w3T, tw3T), Hb2) + jnp.concatenate([b3, tb3], 0)
+    H3b = jnp.maximum(Z3b, 0.0)
+    Qb = _mm(_blockdiag(w4T, tw4T), H3b) + jnp.concatenate([b4, tb4], 0)
+    Z3, H3 = Z3b[0:w3T.shape[0]], H3b[0:w3T.shape[0]]
+    Q = Qb[0:num_actions]                               # [A, (L+1)B]
+    Qt = Qb[num_actions:]                               # target net q's
 
-    qs = [Q[:, tt * B:(tt + 1) * B] for tt in range(L + 1)]
-    qts = [Qt[:, tt * B:(tt + 1) * B] for tt in range(L + 1)]
+    # ---- loss + dL/dq ----------------------------------------------------
+    # The Q-side (Double-DQN argmax, one-hot, bootstrap) vectorizes over
+    # all timesteps as [A, LB] passes because Q/Qt carry canonical
+    # layouts; act/reward/done stay per-timestep row slices (their slab
+    # offsets make lane-flattening a net loss on Mosaic).
+    a_star = _argmax0(Q[:, B:], num_actions)            # [LB], t+1 blocks
+    star = jnp.stack([(a_star == j).astype(jnp.float32)
+                      for j in range(num_actions)])     # [A, LB]
+    bootstrapF = jnp.sum(Qt[:, B:] * star, axis=0)      # [LB]
 
     # Masks: past burn-in and not after an in-window episode end
     # (agents.drqn.drqn_loss).
@@ -243,11 +306,8 @@ def drqn_learn_math(p, tp, m, v, batch, t, *, gamma, lr, num_actions,
     for tt in range(L):
         a_oh = jnp.stack([(batch["action"][tt] == j).astype(jnp.float32)
                           for j in range(num_actions)])            # [A, B]
-        q_sel = jnp.sum(qs[tt] * a_oh, axis=0)                     # [B]
-        a_star = _argmax0(qs[tt + 1], num_actions)
-        star = jnp.stack([(a_star == j).astype(jnp.float32)
-                          for j in range(num_actions)])
-        bootstrap = jnp.sum(qts[tt + 1] * star, axis=0)
+        q_sel = jnp.sum(Q[:, tt * B:(tt + 1) * B] * a_oh, axis=0)  # [B]
+        bootstrap = bootstrapF[tt * B:(tt + 1) * B]
         target = (batch["reward"][tt]
                   + gamma * bootstrap * (1.0 - batch["done"][tt]))
         diff = q_sel - target
@@ -400,16 +460,31 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
         rand = (rand_b % jnp.uint32(num_actions)).astype(jnp.int32)
         return jnp.where(mask_b < threshold, best_a, rand)
 
-    _, q1, h1n, c1n = _cell_fwd(p_now, obs, h1s, c1s)
-    a1 = pick(_argmax0(q1, num_actions), bits[0], bits[1])
     if opp == OPP_L0:
+        _, q1, h1n, c1n = _cell_fwd(p_now, obs, h1s, c1s)
         a2 = jnp.full((n,), C.ACTION_NONE, jnp.int32)
         h2n, c2n = h2s, c2s
-    else:
+    elif opp == OPP_SELFPLAY:
+        # Same params both seats: ONE lane-concat forward (bit-identical
+        # per lane; halves the actor's dependent matmul issues).
         obs2 = jnp.concatenate([obs[5:], obs[:5]])
-        opp_p = p_now if opp == OPP_SELFPLAY else tuple(r[:] for r in opp_in)
-        _, q2, h2n, c2n = _cell_fwd(opp_p, obs2, h2s, c2s)
+        _, qb, hbn, cbn = _cell_fwd(
+            p_now,
+            jnp.concatenate([obs, obs2], axis=1),
+            jnp.concatenate([h1s, h2s], axis=1),
+            jnp.concatenate([c1s, c2s], axis=1))
+        q1, q2 = qb[:, :n], qb[:, n:]
+        h1n, h2n = hbn[:, :n], hbn[:, n:]
+        c1n, c2n = cbn[:, :n], cbn[:, n:]
         a2 = pick(_argmax0(q2, num_actions), bits[2], bits[3])
+    else:
+        # Frozen opponent: different params -> block-diagonal pair chain.
+        obs2 = jnp.concatenate([obs[5:], obs[:5]])
+        q1, h1n, c1n, q2, h2n, c2n = _cell_fwd_pair(
+            p_now, tuple(r[:] for r in opp_in),
+            obs, obs2, h1s, c1s, h2s, c2s)
+        a2 = pick(_argmax0(q2, num_actions), bits[2], bits[3])
+    a1 = pick(_argmax0(q1, num_actions), bits[0], bits[1])
     actions = jnp.stack([a1, a2])
 
     # --- env step ------------------------------------------------------------
