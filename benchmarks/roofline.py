@@ -99,10 +99,10 @@ def row(name, rate, *, flops=0.0, vops=0.0, bytes_=0.0, lanes, launch,
 def main():
     # ---- fused random-policy rollout (headline bench.py config) ----------
     n = 4096
-    row("fused rollout 4,096 envs x 16,384-step", 1.10e9,
+    row("fused rollout 4,096 envs x 20,480-step", 1.17e9,
         vops=(ENV_STEP_VOPS + 8) * n,          # env + PRNG policy draw
         bytes_=60 * n,                          # full-trajectory writes
-        lanes=n, launch=16384, binding="dispatch+VPU",
+        lanes=n, launch=20480, binding="dispatch+VPU",
         note="the launch-length sweep (72M at 512 steps -> 1.10B at "
              "16,384) fits T_launch = 25 ms + steps * 2.2 us exactly: "
              "41% of the headline launch is still dispatch, the rest "
@@ -153,29 +153,42 @@ def main():
             bytes_=0, lanes=envs, launch=4096, binding="matmul latency",
             note="after batching every timestep-independent matmul over "
                  "the unroll (one [rows, 17B] issue each), only the 33 "
-                 "sequential whh issues remain: ~52 us of the 61 us "
-                 "step at 4,096 envs is still the dependent-chain "
-                 "latency + the actor; wider LSTMs would raise MXU "
-                 "occupancy at ~flat wall time")
+                 "sequential whh issues remain; the round-4b follow-up "
+                 "(fusing eval+target chains block-diagonally, 50 -> 33 "
+                 "deep) measured FLAT, so the floor is the recurrence "
+                 "chain + fixed per-step machinery, not issue count; "
+                 "the width sweep (benchmarks/drqn_width.py) confirms "
+                 "wider LSTMs raise MXU occupancy to 47% at ~flat wall "
+                 "time")
 
     # ---- fused HDQN trainer ---------------------------------------------
     lo = mlp_flops([11, 200, 100, 5])
     up = mlp_flops([10, 200, 100, 8])
     envs = 1024
-    row(f"fused HDQN trainer {envs:,} envs (full slab, 2,000-step)", 25.5e6,
+    row(f"fused HDQN trainer {envs:,} envs (full slab, 16,384-step)", 47.2e6,
         flops=(2 * lo + up) * envs + 5 * (lo + up) * envs,
         vops=(ENV_STEP_VOPS + 3 * ACTOR_RNG_VOPS + 60) * envs + 2 * 10 * 25000,
-        bytes_=0, lanes=envs, launch=2000,
-        note="two learners per step; same small-matmul regime as DQN")
+        bytes_=0, lanes=envs, launch=16384,
+        note="two learners per step; same small-matmul regime as DQN; "
+             "16,384-step launches lift the 2,000-step 25.5M row by 85% "
+             "exactly as the dispatch share predicted")
+    envs, B = 4096, 128
+    row(f"fused HDQN trainer {envs:,} envs (learn_batch {B}, "
+        "16,384-step)", 128.4e6,
+        flops=(2 * lo + up) * envs + 5 * (lo + up) * B,
+        vops=(ENV_STEP_VOPS + 3 * ACTOR_RNG_VOPS + 60) * envs + 2 * 10 * 25000,
+        bytes_=0, lanes=envs, launch=16384,
+        note="selfplay; lane-window learners at reference batch scale")
 
     # ---- fused Rainbow trainer ------------------------------------------
     rb = 2 * (10 * 32 + 32 * 64 + 64 * 64 + 64 * 51 + 64 * 64 + 64 * 5 * 51)
     envs, B = 4096, 128
-    row(f"fused Rainbow PER+3-step {envs:,} envs (learn_batch {B})", 51.9e6,
+    row(f"fused Rainbow PER+3-step {envs:,} envs (learn_batch {B}, "
+        "16,384-step)", 77.9e6,
         flops=2 * rb * envs + 5 * rb * B,
         vops=(ENV_STEP_VOPS + 2 * ACTOR_RNG_VOPS + 2 * 51 * 10) * envs
              + (2 * 51 * 64 + 51 * 51 * 3) * B,   # softmax x heads + projection
-        bytes_=0, lanes=envs, launch=2000,
+        bytes_=0, lanes=envs, launch=16384,
         note="C51 projection is a [51,51] hat-matrix matmul per learn "
              "plus per-lane softmaxes; VPU transcendentals dominate")
 
@@ -194,10 +207,12 @@ def main():
     for r in ROWS:
         u = r["util"]
         # util['MXU'] is achieved/peak, so achieved FLOP/s = util * peak.
+        last = (f"{u['dispatch']*100:.1f}%" if "dispatch" in u
+                else f"(scan floor {u['scan-floor']*100:.0f}%)")
         print(f"| {r['row']} | {r['env_steps_per_s']/1e6:.0f}M "
               f"| {u['MXU']*MXU_F32/1e12:.2f} "
               f"| {u['MXU']*100:.1f}% | {u['HBM']*100:.1f}% "
-              f"| {u['VPU']*100:.1f}% | {u['dispatch']*100:.1f}% "
+              f"| {u['VPU']*100:.1f}% | {last} "
               f"| **{r['binding']}** |")
     print()
     print(json.dumps(ROWS, indent=1))
