@@ -40,28 +40,31 @@ def _interpret_mode(monkeypatch):
     yield
 
 
-_DRQN_INPROC = os.environ.get("MGT_SPMD_DRQN_INPROC") == "1"
+_INPROC = os.environ.get("MGT_SPMD_INPROC") == "1"
 
 
 def _run_in_fresh_process(test_name):
-    """Run one drqn spmd lock in a fresh interpreter.
+    """Run one heavy spmd lock in a fresh interpreter.
 
     XLA:CPU crashes (SIGSEGV or SIGABRT inside backend_compile) when
-    compiling the drqn shard_map interpret program late in a long-lived
-    full-suite process -- 4/4 full-suite runs died at the same test,
-    while the identical program compiles and passes in ANY shorter
-    session (this file alone, every bisected subset, and the judge-style
-    half-suites).  The trigger is accumulated in-process compiler state,
-    not this program or any specific predecessor (bisects over the
-    native/ctypes, ui/io and multiprocess files all pass).  Until that
-    upstream compiler bug is fixed, the three drqn spmd locks each run
-    in a fresh interpreter; set MGT_SPMD_DRQN_INPROC=1 to run them
-    in-process for debugging."""
+    compiling a LARGE shard_map interpret program late in a long-lived
+    full-suite process: 5/5 full-suite runs died at the first such
+    compile -- the drqn one-device lock four times, then (with the drqn
+    trio isolated) the dqn two-device lock -- while the identical
+    programs compile and pass in ANY shorter session (this file alone,
+    every bisected subset).  The trigger is accumulated in-process
+    compiler state crossing some threshold, not any specific program or
+    predecessor (bisects over the native/ctypes, ui/io and multiprocess
+    files all pass).  Until that upstream compiler bug is fixed, the
+    seven largest locks here (the three drqn tests and the four
+    two-device pmean tests, none of which had ever executed inside a
+    full suite before round 4b) each run in a fresh interpreter; set
+    MGT_SPMD_INPROC=1 to run them in-process for debugging."""
     r = subprocess.run(
         [sys.executable, "-m", "pytest", "-q", "-x",
          f"{__file__}::{test_name}"],
         capture_output=True, text=True, timeout=1800,
-        env=dict(os.environ, MGT_SPMD_DRQN_INPROC="1"))
+        env=dict(os.environ, MGT_SPMD_INPROC="1"))
     assert r.returncode == 0, (
         f"isolated {test_name} failed:\n"
         f"{r.stdout[-3000:]}\n{r.stderr[-2000:]}")
@@ -336,7 +339,7 @@ def test_rainbow_per_eight_device_local_sgd(devices8):
 # ---------------------------------------------------------------------------
 
 def test_drqn_one_device_mesh_equals_single_chip():
-    if not _DRQN_INPROC:
+    if not _INPROC:
         _run_in_fresh_process("test_drqn_one_device_mesh_equals_single_chip")
         return
     from merging_gym_tpu.agents.drqn import DRQNConfig
@@ -373,7 +376,7 @@ def test_drqn_one_device_mesh_equals_single_chip():
 
 
 def test_drqn_eight_device_local_sgd(devices8):
-    if not _DRQN_INPROC:
+    if not _INPROC:
         _run_in_fresh_process("test_drqn_eight_device_local_sgd")
         return
     from merging_gym_tpu.agents.drqn import DRQNConfig
@@ -430,6 +433,9 @@ def _assert_lane_concat(dist_arr, solo_a, solo_b, name):
 
 
 def test_dqn_two_device_equals_pmean_of_solo_kernels():
+    if not _INPROC:
+        _run_in_fresh_process("test_dqn_two_device_equals_pmean_of_solo_kernels")
+        return
     from merging_gym_tpu.parallel.spmd import (spmd_fused_dqn_chunk,
                                                spmd_fused_dqn_init)
 
@@ -467,7 +473,7 @@ def test_dqn_two_device_equals_pmean_of_solo_kernels():
 
 
 def test_drqn_two_device_equals_pmean_of_solo_kernels():
-    if not _DRQN_INPROC:
+    if not _INPROC:
         _run_in_fresh_process("test_drqn_two_device_equals_pmean_of_solo_kernels")
         return
     from merging_gym_tpu.agents.drqn import DRQNConfig
@@ -505,6 +511,9 @@ def test_drqn_two_device_equals_pmean_of_solo_kernels():
 
 
 def test_hdqn_two_device_equals_pmean_of_solo_kernels():
+    if not _INPROC:
+        _run_in_fresh_process("test_hdqn_two_device_equals_pmean_of_solo_kernels")
+        return
     from merging_gym_tpu.agents.hdqn import HDQNConfig
     from merging_gym_tpu.ops import fused_hdqn as FH
     from merging_gym_tpu.parallel.spmd import (spmd_fused_hdqn_chunk,
@@ -547,6 +556,9 @@ def test_hdqn_two_device_equals_pmean_of_solo_kernels():
 
 
 def test_rainbow_two_device_equals_pmean_of_solo_kernels():
+    if not _INPROC:
+        _run_in_fresh_process("test_rainbow_two_device_equals_pmean_of_solo_kernels")
+        return
     from merging_gym_tpu.agents.rainbow import RainbowConfig
     from merging_gym_tpu.ops import fused_rainbow as FRB
     from merging_gym_tpu.parallel.spmd import (spmd_fused_rainbow_chunk,
