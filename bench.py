@@ -34,11 +34,15 @@ import time
 NUM_ENVS = 4096
 STEPS_PER_CHUNK = 512          # XLA scan path (CPU fallback)
 CHUNKS_PER_REP = 4
-# TPU fused kernel: one long launch per rep.  Longer launches amortize
-# the ~25 ms per-launch dispatch (the headline's largest cost share,
-# docs/BENCHMARKS.md roofline); 20,480 steps (~5 GB of trajectories)
-# measured 1.17B vs 1.09B at 16,384 in the same session, but sits near
-# the HBM output budget, so OOM falls back to the next length.
+# TPU reduce-on-chip kernel (ops/fused_rollout.fused_rollout_counters):
+# outcome counters accumulate in VMEM, no trajectory stream, so HBM
+# capacity no longer caps launch length and the ~25 ms per-launch
+# dispatch (34.9% of the 20,480-step trajectory launch, roofline row 1)
+# amortises over 1M steps to <1%.
+COUNTERS_LAUNCH_OPTS = (1048576, 262144, 65536)
+# Trajectory-mode fallback: one long launch per rep.  20,480 steps
+# (~5 GB of trajectories) sits near the HBM output budget, so failures
+# fall back to the next length.
 FUSED_LAUNCH_OPTS = (20480, 16384)
 FUSED_UNROLL = 8
 REPS = 5
@@ -68,28 +72,49 @@ def measure(force_cpu: bool) -> float:
         # ~25 ms, so short launches are overhead-dominated (512-step
         # launches: 72M steps/s; 16384-step: ~1.0B steps/s for the SAME
         # per-step program -- sweep in docs/BENCHMARKS.md).
-        from merging_gym_tpu.ops.fused_rollout import fused_rollout
+        from merging_gym_tpu.ops.fused_rollout import (fused_rollout,
+                                                       fused_rollout_counters)
+
+        def timed_rates(run, launch_steps):
+            """Warmup + REPS timed launches; None if any launch fails
+            (so the caller can fall back to a shorter length -- a launch
+            can survive warmup and still die in a timed rep, e.g. HBM
+            fragmentation)."""
+            try:
+                out = run(0)
+                float(jnp.sum(out))  # warmup + forced sync
+                rates = []
+                for seed in range(1, REPS + 1):
+                    t0 = time.perf_counter()
+                    out = run(seed)
+                    float(jnp.sum(out))  # forced readback fence
+                    dt = time.perf_counter() - t0
+                    rates.append(NUM_ENVS * launch_steps / dt)
+                return rates
+            except Exception as e:
+                sys.stderr.write(f"launch {launch_steps}: {e!r:.500}, "
+                                 "trying next config\n")
+                return None
+
+        for launch_steps in COUNTERS_LAUNCH_OPTS:
+            def run_counters(seed):
+                return fused_rollout_counters(
+                    launch_steps, NUM_ENVS, seed=seed, env_params=params,
+                    unroll=FUSED_UNROLL)["reward_sum"]
+
+            rates = timed_rates(run_counters, launch_steps)
+            if rates is not None:
+                return statistics.median(rates)
 
         for launch_steps in FUSED_LAUNCH_OPTS:
-            def run_fused(seed):
+            def run_traj(seed):
                 return fused_rollout(launch_steps, NUM_ENVS, seed=seed,
-                                     env_params=params, unroll=FUSED_UNROLL)
+                                     env_params=params,
+                                     unroll=FUSED_UNROLL)["rewards"]
 
-            try:
-                traj = run_fused(0)
-                float(jnp.sum(traj["rewards"]))  # warmup + forced sync
-            except Exception as e:  # HBM budget varies; try next length
-                sys.stderr.write(f"launch {launch_steps}: "
-                                 f"{type(e).__name__}, trying shorter\n")
-                continue
-            rates = []
-            for seed in range(1, REPS + 1):
-                t0 = time.perf_counter()
-                traj = run_fused(seed)
-                float(jnp.sum(traj["rewards"]))  # forced readback fence
-                dt = time.perf_counter() - t0
-                rates.append(NUM_ENVS * launch_steps / dt)
-            return statistics.median(rates)
+            rates = timed_rates(run_traj, launch_steps)
+            if rates is not None:
+                return statistics.median(rates)
         raise RuntimeError("all fused launch lengths failed")
 
     def policy(ps, obs, key):

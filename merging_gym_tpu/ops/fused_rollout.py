@@ -165,6 +165,78 @@ def _kernel(rewards_ref, seed_ref, actions_ref, obs_ref, rew_ref, done_ref,
     t_s[:] = tcnt[None, :]
 
 
+def _kernel_counters(rewards_ref, seed_ref, actions_ref, rewsum_ref,
+                     counts_ref, pos_s, vel_s, win_s, t_s, *, n, use_prng,
+                     unroll):
+    """Reduce-on-chip variant: identical env math and PRNG/action stream
+    to ``_kernel``, but instead of streaming [T, ...] trajectories to HBM
+    it accumulates per-env outcome counters in the (VMEM-resident) output
+    blocks.  This removes the ~60 B/env-step HBM trajectory traffic, so
+    launch length is no longer bounded by HBM *capacity* and the ~25 ms
+    per-launch dispatch (docs/BENCHMARKS.md roofline row 1: 34.9% of the
+    20,480-step headline launch) amortises to nothing.
+
+    Counter definitions (the lock in tests/test_fused_rollout.py computes
+    the same reductions from the trajectory kernel's outputs):
+      rewsum[p]  = sum over steps of rewards[p]
+      counts[0]  = episodes   = sum(done)
+      counts[1]  = collisions = sum(collision)
+      counts[2]  = wins1      = sum(done & winner == 1 & ~collision)
+      counts[3]  = wins2      = sum(done & winner == 2 & ~collision)
+    """
+    i_env = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        pos_s[:] = jnp.full((2, n), C.START_POINT, jnp.float32)
+        vel_s[:] = jnp.full((2, n), C.START_VEL, jnp.float32)
+        win_s[:] = jnp.zeros((1, n), jnp.int32)
+        t_s[:] = jnp.zeros((1, n), jnp.int32)
+        rewsum_ref[:] = jnp.zeros((2, n), jnp.float32)
+        counts_ref[:] = jnp.zeros((4, n), jnp.int32)
+
+    if use_prng:
+        pltpu.prng_seed(seed_ref[0] + i * pl.num_programs(0) + i_env)
+
+    rcfg = tuple(rewards_ref[k] for k in range(5))
+    pos, vel = pos_s[:], vel_s[:]
+    winner, tcnt = win_s[:][0], t_s[:][0]
+    rewsum = rewsum_ref[:]
+    counts = counts_ref[:]
+    for k in range(unroll):
+        if use_prng:
+            bits = pltpu.bitcast(pltpu.prng_random_bits((2, n)), jnp.uint32)
+            actions = (bits % jnp.uint32(C.NUM_ACTIONS + 1)).astype(jnp.int32) - 1
+        else:
+            actions = actions_ref[k]
+
+        pos, vel, winner, tcnt, done, col, rewards, _, _ = _env_step_math(
+            pos, vel, winner, tcnt,
+            jnp.zeros((n,), bool), actions, rcfg, seed_ref[1])
+
+        rewsum = rewsum + rewards
+        inc = jnp.stack([
+            done.astype(jnp.int32),
+            col.astype(jnp.int32),
+            (done & (winner == 1) & ~col).astype(jnp.int32),
+            (done & (winner == 2) & ~col).astype(jnp.int32),
+        ])
+        counts = counts + inc
+
+        reset = done[None, :]
+        pos = jnp.where(reset, C.START_POINT, pos)
+        vel = jnp.where(reset, C.START_VEL, vel)
+        winner = jnp.where(done, 0, winner)
+        tcnt = jnp.where(done, 0, tcnt)
+    pos_s[:] = pos
+    vel_s[:] = vel
+    win_s[:] = winner[None, :]
+    t_s[:] = tcnt[None, :]
+    rewsum_ref[:] = rewsum
+    counts_ref[:] = counts
+
+
 ENV_BLOCK = 8192  # lanes per env tile; bounds VMEM block sizes
 
 
@@ -179,14 +251,23 @@ def _call(rewards_vec, seed, actions, num_steps, num_envs, use_prng,
     K = unroll
     kernel = functools.partial(_kernel, n=n, use_prng=use_prng, unroll=K)
     grid = (num_envs // n, num_steps // K)
+    if use_prng:
+        # The kernel never reads actions in PRNG mode; a 1-lane-row dummy
+        # avoids materialising a [T, 2, N] zeros array in HBM (640 MB at
+        # the 20,480-step headline launch; unbounded at counters-mode
+        # launch lengths).
+        actions_spec = pl.BlockSpec((1, 1, 128), lambda e, i: (0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    else:
+        actions_spec = pl.BlockSpec((K, 2, n), lambda e, i: (i, 0, e),
+                                    memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # rewards cfg [5]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # seed [1]
-            pl.BlockSpec((K, 2, n), lambda e, i: (i, 0, e),
-                         memory_space=pltpu.VMEM),   # actions
+            actions_spec,
         ],
         out_specs=(
             pl.BlockSpec((K, 10, n), lambda e, i: (i, 0, e), memory_space=pltpu.VMEM),
@@ -216,6 +297,59 @@ def _call(rewards_vec, seed, actions, num_steps, num_envs, use_prng,
         "done": done[:, 0].astype(bool),  # bool[T, N]
         "winner": winner[:, 0],           # i32[T, N]
         "collision": col[:, 0].astype(bool),
+    }
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_steps", "num_envs", "use_prng",
+                                    "unroll"))
+def _call_counters(rewards_vec, seed, actions, num_steps, num_envs, use_prng,
+                   unroll=1):
+    n = min(num_envs, ENV_BLOCK)
+    assert num_envs % n == 0
+    assert num_steps % unroll == 0, "num_steps must be a multiple of unroll"
+    K = unroll
+    kernel = functools.partial(_kernel_counters, n=n, use_prng=use_prng,
+                               unroll=K)
+    grid = (num_envs // n, num_steps // K)
+    if use_prng:
+        actions_spec = pl.BlockSpec((1, 1, 128), lambda e, i: (0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    else:
+        actions_spec = pl.BlockSpec((K, 2, n), lambda e, i: (i, 0, e),
+                                    memory_space=pltpu.VMEM)
+    rewsum, counts = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # rewards cfg [5]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed [1]
+            actions_spec,
+        ],
+        out_specs=(
+            # Output block index is time-invariant, so the block stays
+            # VMEM-resident for a whole env tile's time sweep (the
+            # accumulator) and flushes to HBM once per tile.
+            pl.BlockSpec((2, n), lambda e, i: (0, e), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n), lambda e, i: (0, e), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((4, num_envs), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, n), jnp.float32),
+            pltpu.VMEM((2, n), jnp.float32),
+            pltpu.VMEM((1, n), jnp.int32),
+            pltpu.VMEM((1, n), jnp.int32),
+        ],
+    )(rewards_vec, seed, actions)
+    return {
+        "reward_sum": rewsum,       # f32[2, N]
+        "episodes": counts[0],      # i32[N]
+        "collisions": counts[1],    # i32[N]
+        "wins1": counts[2],         # i32[N]
+        "wins2": counts[3],         # i32[N]
     }
 
 
@@ -253,10 +387,49 @@ def fused_rollout(num_steps: int, num_envs: int, actions=None, seed=None,
         env_params.vel_penalty, env_params.time_penalty], jnp.float32)
     use_prng = actions is None
     if use_prng:
-        actions = jnp.zeros((num_steps, 2, num_envs), jnp.int32)
+        actions = jnp.zeros((1, 1, 128), jnp.int32)   # never read in-kernel
         seed_arr = jnp.asarray([seed, env_params.max_steps], jnp.int32)
     else:
         actions = jnp.asarray(actions, jnp.int32)
         seed_arr = jnp.asarray([0, env_params.max_steps], jnp.int32)
     return _call(rewards_vec, seed_arr, actions, num_steps, num_envs,
                  use_prng, unroll)
+
+
+def fused_rollout_counters(num_steps: int, num_envs: int, actions=None,
+                           seed=None, env_params=None, unroll: int = 1):
+    """Reduce-on-chip rollout: same env math and action stream as
+    ``fused_rollout`` but returns per-env outcome counters instead of
+    [T, ...] trajectories (see ``_kernel_counters``).  With no trajectory
+    stream, HBM capacity no longer caps the launch length, so the ~25 ms
+    per-launch dispatch can be amortised over millions of steps
+    (bench.py's counters headline uses 1M-step launches).
+
+    Same determinism caveat as ``fused_rollout`` seed mode: the PRNG
+    action stream is a function of (seed, unroll, env tiling).  At
+    matched settings both kernels draw identical streams, which is the
+    TPU equality lock in tests/test_fused_rollout_counters.py.
+
+    Returns ``{"reward_sum": f32[2, N], "episodes"/"collisions"/
+    "wins1"/"wins2": i32[N]}``.
+    """
+    assert num_envs % 128 == 0, "num_envs must be a multiple of 128"
+    assert num_envs % min(num_envs, ENV_BLOCK) == 0, (
+        f"num_envs above {ENV_BLOCK} must be a multiple of {ENV_BLOCK}")
+    assert (actions is None) != (seed is None), "pass actions XOR seed"
+    if env_params is None:
+        from merging_gym_tpu.core.env import EnvParams
+        env_params = EnvParams()
+    assert not env_params.random_start, "fused path: deterministic starts only"
+    rewards_vec = jnp.asarray([
+        env_params.r_first, env_params.r_second, env_params.r_collision,
+        env_params.vel_penalty, env_params.time_penalty], jnp.float32)
+    use_prng = actions is None
+    if use_prng:
+        actions = jnp.zeros((1, 1, 128), jnp.int32)   # never read in-kernel
+        seed_arr = jnp.asarray([seed, env_params.max_steps], jnp.int32)
+    else:
+        actions = jnp.asarray(actions, jnp.int32)
+        seed_arr = jnp.asarray([0, env_params.max_steps], jnp.int32)
+    return _call_counters(rewards_vec, seed_arr, actions, num_steps,
+                          num_envs, use_prng, unroll)
