@@ -208,10 +208,11 @@ def t_to_params(pt):
 
 def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
             n, R, B, K, opp, p_greedy, num_actions, gamma, lr, target_sync,
-            mask_terminal, greedy, random_start):
+            mask_terminal, greedy, random_start, ring_hbm=False):
     # inputs: p 6, tp 6, m 6, v 6, opp 6, env 1, ring 1  (32 refs)
     # outputs: p 6, tp 6, m 6, v 6, env 1, ring 1, met 1, loss 1 (28 refs)
-    ins, outs = refs[:32], refs[32:]
+    # ring_hbm adds 4 scratch refs: stage, old_buf, samp_buf, sems
+    ins, outs = refs[:32], refs[32:60]
     p_in, tp_in, m_in, v_in = ins[0:6], ins[6:12], ins[12:18], ins[18:24]
     opp_in, env_in, ring_in = ins[24:30], ins[30], ins[31]
     p_o, tp_o, m_o, v_o = outs[0:6], outs[6:12], outs[12:18], outs[18:24]
@@ -221,6 +222,48 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
     warm = cfg_ref[2]   # 1 = learning already started in a previous launch
     prior_learns = cfg_ref[3]
     base = cfg_ref[4]   # global-step ring round base (steps_so_far % R)
+    W = B // K
+
+    if ring_hbm:
+        # HBM-resident ring (VERDICT r4 item 1): ring_in/ring_o are
+        # ANY-space refs aliased to ONE HBM buffer (input_output_aliases
+        # in _call_hbm), so there is no step-0 copy and VMEM holds only
+        # double-buffered [NUM_F, ...] working sets.  Per step:
+        #   wait prefetches(i) -> compute slab -> start store(i) ->
+        #   learn -> wait store(i) -> start prefetches(i+1)
+        # Prefetch(i+1) is issued only after store(i) completes, so a
+        # sampled row always reflects every store up to step i; the one
+        # store it can miss (step i+1's own, when a drawn round equals
+        # that step's write round) is patched in-register from the
+        # just-built merged slab -- keeping the VMEM-ring semantics
+        # bit-exact (the e2e interpret lock runs both modes).
+        stage, old_buf, samp_buf, sems = refs[60:64]
+        r_cur = lax.rem(base + i, jnp.int32(R))
+        slot = lax.rem(i, jnp.int32(2))
+
+        def old_dma(step_slot, step_round):
+            return pltpu.make_async_copy(
+                ring_o.at[pl.ds(step_round * NUM_F, NUM_F), :],
+                old_buf.at[step_slot], sems.at[step_slot, 0])
+
+        def samp_dma(step_slot, k, step_round, step_col):
+            return pltpu.make_async_copy(
+                ring_o.at[pl.ds(step_round * NUM_F, NUM_F),
+                          pl.ds(step_col * W, W)],
+                samp_buf.at[step_slot, :, pl.ds(k * W, W)],
+                sems.at[step_slot, 1 + k])
+
+        def store_dma(step_slot, step_round):
+            return pltpu.make_async_copy(
+                stage.at[step_slot],
+                ring_o.at[pl.ds(step_round * NUM_F, NUM_F), :],
+                sems.at[step_slot, 1 + K])
+
+        def issue_prefetches(step_slot, step):
+            old_dma(step_slot, lax.rem(base + step, jnp.int32(R))).start()
+            for k in range(K):
+                samp_dma(step_slot, k, rounds_ref[step * K + k],
+                         cols_ref[step * K + k]).start()
 
     @pl.when(i == 0)
     def _():
@@ -228,8 +271,18 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
                             p_in + tp_in + m_in + v_in):
             dst[:] = src[:]
         env_o[:] = env_in[:]
-        ring_o[:] = ring_in[:]
+        if not ring_hbm:
+            ring_o[:] = ring_in[:]
         met_o[:] = jnp.zeros((4, n), jnp.float32)
+        if ring_hbm:
+            issue_prefetches(jnp.int32(0), jnp.int32(0))
+
+    if ring_hbm:
+        # Wait this step's prefetches (issued at step i-1, or just above
+        # for step 0).
+        old_dma(slot, r_cur).wait()
+        for k in range(K):
+            samp_dma(slot, k, rounds_ref[i * K + k], cols_ref[i * K + k]).wait()
 
     # Greedy mode (P(greedy)=1) never touches the on-chip PRNG, making the
     # kernel fully deterministic given the host-supplied rounds/cols
@@ -287,7 +340,8 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
     # would promote the rem to i64.  ``base`` carries the global-step
     # ring round base so chunked launches keep overwriting the ring where
     # the previous launch left off instead of rewinding to round 0.
-    r_cur = lax.rem(base + i, jnp.int32(R))
+    if not ring_hbm:
+        r_cur = lax.rem(base + i, jnp.int32(R))
     store = (nwin != 1)[None, :].astype(jnp.float32)              # [1, n]
     slab = jnp.concatenate([
         obs, next_obs,
@@ -295,8 +349,14 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
                    done.astype(jnp.float32),
                    jnp.zeros((n,), jnp.float32)]),  # alignment pad row
     ])                                                             # [NUM_F, n]
-    old = ring_o[pl.ds(r_cur * NUM_F, NUM_F), :]
-    ring_o[pl.ds(r_cur * NUM_F, NUM_F), :] = store * slab + (1.0 - store) * old
+    if ring_hbm:
+        merged = store * slab + (1.0 - store) * old_buf[slot]
+        stage[slot] = merged
+        store_dma(slot, r_cur).start()
+    else:
+        old = ring_o[pl.ds(r_cur * NUM_F, NUM_F), :]
+        ring_o[pl.ds(r_cur * NUM_F, NUM_F), :] = (store * slab
+                                                  + (1.0 - store) * old)
 
     # --- learner (gated on ring full, main.py:213-214) ------------------------
     # Learning starts once R-1 GLOBAL steps have filled the ring: when
@@ -309,7 +369,22 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
 
     @pl.when(can_learn)
     def _():
-        if K == 1 and B == n:
+        if ring_hbm:
+            # Prefetched windows, with the one store they can miss (this
+            # step's own, when the drawn round == this step's write
+            # round) patched in from the in-register merged slab.
+            parts = []
+            for k in range(K):
+                win = samp_buf[slot, :, pl.ds(k * W, W)]
+                # stage[slot] holds the merged slab (a ref read supports
+                # the dynamic lane window; Mosaic cannot dynamic-slice a
+                # value).  The in-flight store DMA also reads it -- both
+                # are reads, no hazard.
+                mine = stage[slot, :, pl.ds(cols_ref[i * K + k] * W, W)]
+                hit = rounds_ref[i * K + k] == r_cur
+                parts.append(jnp.where(hit, mine, win))
+            sampled = parts[0] if K == 1 else jnp.concatenate(parts, axis=1)
+        elif K == 1 and B == n:
             sampled = ring_o[pl.ds(rounds_ref[i] * NUM_F, NUM_F), :]
         else:
             # K independent (round, lane-window) draws of B/K lanes each,
@@ -317,7 +392,6 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
             # common-lane-neighbourhood correlation of a single-slab
             # batch (every window width is a static multiple of 128, so
             # the dynamic lane offsets stay Mosaic-aligned).
-            W = B // K
             parts = [
                 ring_o[pl.ds(rounds_ref[i * K + k] * NUM_F, NUM_F),
                        pl.ds(cols_ref[i * K + k] * W, W)]
@@ -375,6 +449,17 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
     env_o[9] = jnp.where(done, 0, ntcnt).astype(jnp.float32)
     env_o[10] = ep_rew
 
+    if ring_hbm:
+        # Store must land before the NEXT step's prefetches are issued
+        # (a drawn round may equal the row just written); by now the
+        # learner matmuls have long overlapped the [NUM_F, n] copy.
+        store_dma(slot, r_cur).wait()
+
+        @pl.when(i < pl.num_programs(0) - 1)
+        def _():
+            issue_prefetches(lax.rem(i + jnp.int32(1), jnp.int32(2)),
+                             i + jnp.int32(1))
+
 
 # ---------------------------------------------------------------------------
 # Host API
@@ -427,8 +512,64 @@ def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, K, opp,
     )(cfg, rewards_vec, rounds, cols, *arrays)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("num_steps", "n", "R", "B", "K", "opp",
+                              "p_greedy", "num_actions", "gamma", "lr",
+                              "target_sync", "mask_terminal", "greedy",
+                              "random_start", "interpret"),
+    donate_argnames=("ring",))
+def _call_hbm(cfg, rewards_vec, rounds, cols, arrays, ring, num_steps, n, R,
+              B, K, opp, p_greedy, num_actions, gamma, lr, target_sync,
+              mask_terminal, greedy, random_start=False, interpret=False):
+    """HBM-ring launch: like ``_call`` but the ring is an ANY-space
+    operand aliased in/out to one (donated) HBM buffer, never copied
+    through VMEM; the kernel DMAs [NUM_F, ...] rows in and out with
+    double-buffered scratch (see the ring_hbm block in ``_kernel``).
+    Ring capacity is then bounded by HBM, not the 110MB VMEM budget:
+    R = 2000 rounds at 32K envs is a 6.3 GB ring (reference DQN replay
+    depth, main.py:17, at 32K parallel envs)."""
+    kernel = functools.partial(
+        _kernel, n=n, R=R, B=B, K=K, opp=opp, p_greedy=p_greedy,
+        num_actions=num_actions, gamma=gamma, lr=lr,
+        target_sync=target_sync, mask_terminal=mask_terminal, greedy=greedy,
+        random_start=random_start, ring_hbm=True)
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+                + [whole(a.shape) for a in arrays]
+                + [pl.BlockSpec(memory_space=pl.ANY)])
+    state_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                    for a in arrays[:24]]          # p, tp, m, v
+    out_shape = tuple(
+        state_shapes
+        + [jax.ShapeDtypeStruct((ENV_ROWS, n), jnp.float32),
+           jax.ShapeDtypeStruct((R * NUM_F, n), jnp.float32),
+           jax.ShapeDtypeStruct((4, n), jnp.float32),
+           jax.ShapeDtypeStruct((8, 128), jnp.float32)])
+    out_specs = tuple(
+        [whole(s.shape) for s in state_shapes]
+        + [whole((ENV_ROWS, n)), pl.BlockSpec(memory_space=pl.ANY),
+           whole((4, n)), whole((8, 128))])
+    extra = {"interpret": True} if interpret else {}
+    return pl.pallas_call(
+        kernel, grid=(num_steps,), in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape,
+        # ring operand = input index 4 (cfg, rewards, rounds, cols) + 31
+        input_output_aliases={4 + len(arrays): 25},
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_F, n), jnp.float32),      # store stage
+            pltpu.VMEM((2, NUM_F, n), jnp.float32),      # old-row buf
+            pltpu.VMEM((2, NUM_F, B), jnp.float32),      # sample windows
+            pltpu.SemaphoreType.DMA((2, K + 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        **extra,
+    )(cfg, rewards_vec, rounds, cols, *arrays, ring)
+
+
 def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None,
-                   learn_batch=None, learn_rounds=1):
+                   learn_batch=None, learn_rounds=1, ring_hbm=None):
     """Fresh training state for the single-kernel trainer.
 
     ``cfg``: agents.dqn.DQNConfig.  ``cfg.batch_size`` is ignored: the
@@ -444,6 +585,16 @@ def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None,
     Must be a multiple of 128 dividing ``num_envs``.  Cuts the learner's
     per-step matmul work by num_envs/learn_batch and restores a
     reference-scale batch (main.py:130 uses 128).
+
+    ``ring_hbm`` (default None = auto): keep the replay ring in HBM and
+    DMA rows through double-buffered VMEM scratch instead of holding the
+    whole ring in VMEM.  Auto turns it on when the VMEM ring would
+    exceed 24 MB.  Ring capacity then scales to HBM: R = 2000 rounds
+    (the reference's full 2000-transition replay depth in time steps,
+    main.py:17) at 32K envs is a 6.3 GB ring.  Semantics are bit-exact
+    vs the VMEM ring (tests/test_fused_trainer_e2e.py runs both modes);
+    the ring buffer in the carry is DONATED each chunk, so a pre-chunk
+    carry must not be reused after the call.
 
     ``learn_rounds`` (K, default 1): number of independent
     (round, lane-window) draws composing each learn batch.  K > 1 breaks
@@ -479,12 +630,15 @@ def fused_dqn_init(key, cfg, env_params, num_envs, opp_params=None,
     opp = params_to_t(opp_params) if opp_params is not None else p
 
     n = num_envs
+    if ring_hbm is None:
+        ring_hbm = R * NUM_F * n * 4 > 24 * 1024 * 1024
     env = np.zeros((ENV_ROWS, n), np.float32)
     env[0:8] = _init_env_rows(env_params, jax.random.fold_in(key, 7), n)
     return {
         "p": p, "tp": tp, "m": zeros6, "v": zeros6, "opp": opp,
         "env": jnp.asarray(env), "ring": jnp.zeros((R * NUM_F, n), jnp.float32),
-        "R": R, "n": n, "B": B, "K": K, "warm": 0, "learns": 0, "steps": 0,
+        "R": R, "n": n, "B": B, "K": K, "ring_hbm": int(bool(ring_hbm)),
+        "warm": 0, "learns": 0, "steps": 0,
         "env_steps": 0,
         "episodes": 0.0, "collisions": 0.0, "wins": 0.0, "sum_ep_reward": 0.0,
         "last_loss": 0.0,
@@ -525,6 +679,7 @@ def coerce_carry(carry):
     for k in ("R", "n", "B", "warm", "learns", "steps", "env_steps"):
         out[k] = int(out.get(k, 0))
     out["K"] = int(out.get("K", 1))
+    out["ring_hbm"] = int(out.get("ring_hbm", 0))
     for k in ("episodes", "collisions", "wins", "sum_ep_reward", "last_loss"):
         out[k] = float(out[k])
     for k in ("p", "tp", "m", "v", "opp"):
@@ -628,20 +783,28 @@ def fused_dqn_chunk(cfg, env_params, carry, num_steps, seed, *,
         raise ValueError(f"rounds must lie in [0, {R}) and cols in "
                          f"[0, {n // W}) (out-of-range values clamp to the "
                          "ring edge and silently train on the wrong slab)")
-    arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
-              + list(carry["v"]) + list(carry["opp"])
-              + [carry["env"], carry["ring"]])
     if env_params.random_start and greedy:
         raise ValueError("random starts need the on-chip PRNG, which "
                          "greedy mode skips (greedy is the deterministic "
                          "e2e mode); drop one of the two")
-    out = _call(launch_cfg(carry, env_params, seed), rewards_cfg(env_params),
-                rounds, cols, tuple(arrays), num_steps,
-                n, R, B, K, cfg.opponent, _phi(cfg.epsilon), cfg.num_actions,
-                float(cfg.gamma), float(cfg.lr), int(cfg.target_sync),
-                bool(cfg.mask_terminal), bool(greedy),
-                random_start=bool(env_params.random_start),
-                interpret=_interpret_flag())
+    common = (num_steps, n, R, B, K, cfg.opponent, _phi(cfg.epsilon),
+              cfg.num_actions, float(cfg.gamma), float(cfg.lr),
+              int(cfg.target_sync), bool(cfg.mask_terminal), bool(greedy))
+    kw = dict(random_start=bool(env_params.random_start),
+              interpret=_interpret_flag())
+    if carry.get("ring_hbm"):
+        arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
+                  + list(carry["v"]) + list(carry["opp"]) + [carry["env"]])
+        out = _call_hbm(launch_cfg(carry, env_params, seed),
+                        rewards_cfg(env_params), rounds, cols, tuple(arrays),
+                        carry["ring"], *common, **kw)
+    else:
+        arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
+                  + list(carry["v"]) + list(carry["opp"])
+                  + [carry["env"], carry["ring"]])
+        out = _call(launch_cfg(carry, env_params, seed),
+                    rewards_cfg(env_params), rounds, cols, tuple(arrays),
+                    *common, **kw)
     met = np.asarray(out[26]).sum(axis=1)
     return apply_chunk(carry, out, num_steps, met,
                        float(np.asarray(out[27])[0, 0]))

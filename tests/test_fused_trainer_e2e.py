@@ -75,12 +75,14 @@ def _race_start(n, seed):
     return pos, vel
 
 
-def _mk(cfg, ep, n, learn_batch, seed, race=None, learn_rounds=1):
+def _mk(cfg, ep, n, learn_batch, seed, race=None, learn_rounds=1,
+        ring_hbm=False):
     from merging_gym_tpu.core.geometry import lon2coord
 
     carry = FT.fused_dqn_init(jax.random.key(seed), cfg, ep, n,
                               learn_batch=learn_batch,
-                              learn_rounds=learn_rounds)
+                              learn_rounds=learn_rounds,
+                              ring_hbm=ring_hbm)
     carry["p"] = _shrink(carry["p"])
     carry["tp"] = _shrink(carry["tp"])
     carry["opp"] = carry["p"]
@@ -229,8 +231,11 @@ def _check(cfg, ep, carry, want, n):
                                rtol=1e-3, atol=1e-6)
 
 
-def test_e2e_selfplay_full_slab():
-    """B == n, selfplay opponent, 2 chunks (cold + warm continuation)."""
+@pytest.mark.parametrize("ring_hbm", [False, True])
+def test_e2e_selfplay_full_slab(ring_hbm):
+    """B == n, selfplay opponent, 2 chunks (cold + warm continuation).
+    ring_hbm=True runs the SAME lock with the HBM-resident DMA ring
+    (VERDICT r4 item 1) -- the semantics must be identical."""
     n, T = 128, 40
     cfg = DQNConfig(lr=1e-3, gamma=0.9, target_sync=7,
                     memory_capacity=3 * n, opponent=FT.OPP_SELFPLAY)
@@ -240,7 +245,7 @@ def test_e2e_selfplay_full_slab():
     cols = np.zeros(T, np.int32)
 
     race = _race_start(n, seed=100)
-    carry = _mk(cfg, ep, n, None, seed=0, race=race)
+    carry = _mk(cfg, ep, n, None, seed=0, race=race, ring_hbm=ring_hbm)
     want = _xla_reference(cfg, ep, carry, rounds, cols, race=race)
     # splits=[1, 10]: the FIRST chunk (1 step) is shorter than the R-1=2
     # step ring warm-up, locking the global-step learn gate across
@@ -273,10 +278,13 @@ def test_e2e_l0_lane_window_batch():
     _check(cfg, ep, got, want, n)
 
 
-def test_e2e_age_mixed_batch():
+@pytest.mark.parametrize("ring_hbm", [False, True])
+def test_e2e_age_mixed_batch(ring_hbm):
     """learn_rounds=K > 1: each learn concatenates K independent
     (round, lane-window) draws -- the de-correlated batch composition
-    (VERDICT r1 item 6) -- locked against the same XLA reference."""
+    (VERDICT r1 item 6) -- locked against the same XLA reference.
+    ring_hbm=True additionally exercises the K-window DMA prefetch and
+    the merged-slab bypass when a drawn round equals the write round."""
     n, B, K, T = 256, 256, 2, 30
     cfg = DQNConfig(lr=1e-3, gamma=0.9, target_sync=6,
                     memory_capacity=3 * n, opponent=FT.OPP_L0)
@@ -286,7 +294,8 @@ def test_e2e_age_mixed_batch():
     cols = rng.integers(0, n // (B // K), T * K).astype(np.int32)
 
     race = _race_start(n, seed=300)
-    carry = _mk(cfg, ep, n, B, seed=9, race=race, learn_rounds=K)
+    carry = _mk(cfg, ep, n, B, seed=9, race=race, learn_rounds=K,
+                ring_hbm=ring_hbm)
     want = _xla_reference(cfg, ep, carry, rounds, cols, race=race)
     got = _run_kernel_chunks(cfg, ep, carry, rounds, cols, splits=[12])
     _check(cfg, ep, got, want, n)
