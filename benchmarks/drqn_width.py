@@ -17,7 +17,9 @@ time, and every jitted call's cache key includes the param/env array
 shapes, so a single width per process is exact.  The package default
 stays reference-faithful.
 
-Usage: python benchmarks/drqn_width.py [num_envs] [widths...]
+Usage: python benchmarks/drqn_width.py [--envs N] [widths...]
+(width >= 256 runs with the HBM-resident ring by default; override with
+MGT_DRQN_WIDTH_HBM=0/1)
 """
 
 import json
@@ -68,8 +70,12 @@ def child(width):
     cfg = DRQNConfig(memory_capacity=4 * NUM_ENVS, opponent="selfplay",
                      seq_len=16, burn_in=4)
     ep = EnvParams()
+    # HBM ring at width >= 256: frees the VMEM slab that put width 256
+    # past the 110 MB scope limit (docs/BENCHMARKS.md OOM boundary).
+    hbm_env = os.environ.get("MGT_DRQN_WIDTH_HBM", "auto")
+    ring_hbm = (width >= 256) if hbm_env == "auto" else hbm_env == "1"
     c = FD.fused_drqn_init(jax.random.key(0), cfg, ep, NUM_ENVS,
-                           learn_batch=LEARN_BATCH)
+                           learn_batch=LEARN_BATCH, ring_hbm=ring_hbm)
     t0 = time.time()
     c = FD.fused_drqn_chunk(cfg, ep, c, STEPS, seed=0)
     float(jnp.sum(c["p"][0]) + jnp.sum(c["env"]))
@@ -86,6 +92,7 @@ def child(width):
     tflops = rate * fpe / 1e12
     print(json.dumps({
         "width": width, "num_envs": NUM_ENVS, "learn_batch": LEARN_BATCH,
+        "ring_hbm": int(ring_hbm),
         "chunk_steps": STEPS, "env_steps_per_sec": round(rate),
         "compile_s": round(compile_s, 1),
         "flops_per_env_step": round(fpe),
@@ -98,10 +105,15 @@ def child(width):
 
 def main():
     global NUM_ENVS
-    args = sys.argv[1:]
-    if args and args[0].isdigit() and int(args[0]) >= 256:
-        NUM_ENVS = int(args.pop(0))
-    widths = [int(a) for a in args] or list(WIDTHS)
+    # Explicit flags (ADVICE r4: a positional magnitude-based num_envs
+    # made `drqn_width.py 256` unable to request width 256 alone).
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=NUM_ENVS)
+    ap.add_argument("widths", type=int, nargs="*", default=list(WIDTHS))
+    a = ap.parse_args()
+    NUM_ENVS = a.envs
+    widths = a.widths or list(WIDTHS)
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
     env["MGT_DRQN_WIDTH_ENVS"] = str(NUM_ENVS)

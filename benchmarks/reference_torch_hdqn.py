@@ -244,54 +244,36 @@ def run(seed, episodes, progress_every=100):
 
 
 def aggregate(run_files, repo_file, out):
+    """Mode-aware bands + the falsifiable 2-SEM difference-of-means test
+    (benchmarks/parity_stats.py -- the round-4 Rainbow statistics
+    applied to HDQN, VERDICT r4 item 3)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from parity_stats import aggregate_doc
+
     runs = []
     for f in run_files:
         with open(f) as fh:
             runs.append(json.load(fh))
-    runs.sort(key=lambda r: r["seed"])
-
-    def band(key):
-        vals = [r[key] for r in runs]
-        return {"mean": float(np.mean(vals)), "std": float(np.std(vals)),
-                "min": float(np.min(vals)), "max": float(np.max(vals))}
-
-    summary = {k: band(k) for k in ("collision_rate", "win_rate", "reward")}
-
-    comparison = None
+    repo_doc = None
     if repo_file and os.path.exists(repo_file):
         with open(repo_file) as fh:
-            repo = json.load(fh)["summary"]
-        comparison = {}
-        for k in ("collision_rate", "win_rate", "reward"):
-            ref_m, ref_s = summary[k]["mean"], summary[k]["std"]
-            rep_m, rep_s = repo[k]["mean"], repo[k]["std"]
-            comb = float(np.hypot(ref_s, rep_s))
-            comparison[k] = {
-                "reference_torch": {"mean": ref_m, "std": ref_s},
-                "repo_faithful": {"mean": rep_m, "std": rep_s},
-                "abs_diff": abs(ref_m - rep_m),
-                "combined_std": comb,
-                "within_2sigma": bool(abs(ref_m - rep_m) <= 2 * comb),
-            }
-
-    doc = {
-        "what": ("The reference's own torch hierarchical-DQN learner "
-                 "(scripts/hdqn.py semantics, see "
-                 "benchmarks/reference_torch_hdqn.py) run against the f64 "
-                 "oracle env vs L0; bands over seeds, compared with the "
-                 "repo's faithful HDQN config."),
-        "runs": [{k: v for k, v in r.items() if k != "curves"} for r in runs],
-        "summary": summary,
-        "comparison": comparison,
-    }
+            repo_doc = json.load(fh)
+    doc = aggregate_doc(
+        runs, repo_doc,
+        what=("The reference's own torch hierarchical-DQN learner "
+              "(scripts/hdqn.py semantics, see "
+              "benchmarks/reference_torch_hdqn.py) run against the f64 "
+              "oracle env vs L0; bands over seeds, compared with the "
+              "repo's faithful HDQN config."))
     with open(out, "w") as fh:
         json.dump(doc, fh, indent=1)
         fh.write("\n")
     curves_path = os.path.splitext(out)[0] + "_curves.json"
     with open(curves_path, "w") as fh:
-        json.dump({r["seed"]: r["curves"] for r in runs}, fh)
-    print(json.dumps({"summary": summary, "comparison": comparison},
-                     indent=1))
+        json.dump({r["seed"]: r["curves"] for r in runs if "curves" in r},
+                  fh)
+    print(json.dumps({"summary": doc["summary"],
+                      "comparison": doc["comparison"]}, indent=1))
 
 
 def main():

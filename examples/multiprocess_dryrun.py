@@ -108,6 +108,71 @@ def main(proc_id: int, num_procs: int, port: int,
     print(f"PROC{proc_id} RAINBOW OK env_steps={rcarry['env_steps']} "
           f"params_checksum={rsum:.6f}", flush=True)
 
+    # Distributed fused HDQN: the two-timescale learner pair (upper +
+    # lower nets) through the same cross-process local-SGD pattern
+    # (VERDICT r4 item 6: previously only virtual-mesh tested).
+    from merging_gym_tpu.agents.hdqn import HDQNConfig
+
+    hcfg = HDQNConfig(memory_capacity=2 * ndev * 128,
+                      goal_memory_capacity=2 * ndev * 128,
+                      opponent=D.OPP_SELFPLAY)
+    hcarry = spmd.spmd_fused_hdqn_init(jax.random.key(7), hcfg, env_params,
+                                       num_envs=ndev * 128, mesh=dmesh)
+    hcarry = spmd.spmd_fused_hdqn_chunk(dmesh, hcfg, env_params, hcarry,
+                                        3, seed=0, greedy=True)
+    jax.block_until_ready(hcarry["u_p"][0])
+    assert hcarry["env_steps"] == 3 * ndev * 128
+    hsum = float(sum(np.abs(np.asarray(a.addressable_data(0))).sum()
+                     for a in list(hcarry["u_p"]) + list(hcarry["l_p"])))
+    print(f"PROC{proc_id} HDQN OK env_steps={hcarry['env_steps']} "
+          f"params_checksum={hsum:.6f}", flush=True)
+
+    # Distributed fused DRQN: per-env recurrent state (both seats)
+    # lane-sharded, truncated-BPTT learner through the same pattern.
+    from merging_gym_tpu.agents.drqn import DRQNConfig
+
+    dcfg = DRQNConfig(memory_capacity=2 * ndev * 128, seq_len=3, burn_in=1,
+                      opponent=D.OPP_SELFPLAY)
+    dcarry = spmd.spmd_fused_drqn_init(jax.random.key(9), dcfg, env_params,
+                                       num_envs=ndev * 128, mesh=dmesh)
+    dcarry = spmd.spmd_fused_drqn_chunk(dmesh, dcfg, env_params, dcarry,
+                                        6, seed=0, greedy=True)
+    jax.block_until_ready(dcarry["p"][0])
+    assert dcarry["env_steps"] == 6 * ndev * 128
+    dsum = float(sum(np.abs(np.asarray(a.addressable_data(0))).sum()
+                     for a in dcarry["p"]))
+    print(f"PROC{proc_id} DRQN OK env_steps={dcarry['env_steps']} "
+          f"params_checksum={dsum:.6f}", flush=True)
+
+    # Multi-host checkpoint/resume (VERDICT r4 item 4): save the XLA
+    # dp x tp carry -- params replicated, env batch + replay SHARDED over
+    # a mesh spanning both processes -- through the process-aware orbax
+    # path, restore it collectively, continue, and require the continued
+    # run to be bitwise identical to the uninterrupted one.
+    from merging_gym_tpu.io.checkpoint import CheckpointManager
+
+    ckpt_dir = os.environ.get("MGT_MP_CKPT_DIR",
+                              f"/tmp/mgt_mp_ckpt_{port}")
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=1)
+    mgr.save(0, carry, wait=True)
+    cont = carry
+    for _ in range(2):
+        cont = spmd.spmd_train_chunk(mesh, cfg, env_params, cont, 3)
+    restored = mgr.restore(carry)
+    for _ in range(2):
+        restored = spmd.spmd_train_chunk(mesh, cfg, env_params, restored, 3)
+    jax.block_until_ready(restored.dqn.params)
+    for a, b in zip(jax.tree.leaves(cont), jax.tree.leaves(restored)):
+        if jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key):
+            a, b = jax.random.key_data(a), jax.random.key_data(b)
+        np.testing.assert_array_equal(np.asarray(a.addressable_data(0)),
+                                      np.asarray(b.addressable_data(0)))
+    csum2 = float(sum(np.abs(np.asarray(leaf.addressable_data(0))).sum()
+                      for leaf in jax.tree.leaves(restored.dqn.params)))
+    mgr.close()
+    print(f"PROC{proc_id} CKPT OK env_steps={int(restored.metrics.env_steps)} "
+          f"params_checksum={csum2:.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]),

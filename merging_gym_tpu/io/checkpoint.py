@@ -31,7 +31,19 @@ def run_dir_name(label: str, strategy: str, reward_tuple, root: str = ".") -> st
 
 
 class CheckpointManager:
-    """Thin orbax wrapper: periodic full-state saves with retention."""
+    """Thin orbax wrapper: periodic full-state saves with retention.
+
+    Multi-host aware (VERDICT r4 item 4): when the job spans processes
+    (``jax.process_count() > 1``), every process constructs the manager
+    on the SAME (shared-filesystem) directory and calls save/restore
+    collectively.  Sharded ``jax.Array`` leaves are passed to orbax
+    as-is -- each process writes/reads its addressable shards and the
+    restore adopts the target's shardings -- instead of the
+    single-process ``device_get`` path (which cannot materialise
+    non-addressable shards).  Locked by the cross-process
+    resume==continue check in examples/multiprocess_dryrun.py /
+    tests/test_multiprocess.py.
+    """
 
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
@@ -40,15 +52,24 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: Any, wait: bool = False) -> None:
-        state = jax.device_get(state)
+        if jax.process_count() == 1:
+            state = jax.device_get(state)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
-        if wait:
+        if wait or jax.process_count() > 1:
+            # Multi-process: the async write must be fenced before any
+            # process proceeds (a later restore may race the writers).
             self._mgr.wait_until_finished()
 
     def restore(self, state_like: Any, step: int | None = None) -> Any:
         step = self.latest_step() if step is None else step
         assert step is not None, f"no checkpoints under {self.directory}"
-        target = jax.device_get(state_like)
+        if jax.process_count() == 1:
+            target = jax.device_get(state_like)
+        else:
+            # Keep the concrete sharded arrays: StandardRestore re-creates
+            # each leaf with the target's global sharding, every process
+            # reading its own shards.
+            target = state_like
         return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
 
     def latest_step(self):

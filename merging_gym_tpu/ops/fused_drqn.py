@@ -395,12 +395,13 @@ def slab_to_batch(slab, L, obs_dim=C.OBS_DIM):
 
 def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
             n, R, B, L, burn_in, opp, p_greedy, num_actions, gamma, lr,
-            target_sync, greedy, random_start):
+            target_sync, greedy, random_start, ring_hbm=False):
     # inputs: p 12, tp 12, m 12, v 12, opp 12, env 1, win 1, ring 1 (63)
     # outputs: p 12, tp 12, m 12, v 12, env 1, win 1, ring 1, met 1,
     #          loss 1 (53)
+    # ring_hbm adds 4 scratch refs: stage, samp, samp sems, store sem
     NP = 12
-    ins, outs = refs[:5 * NP + 3], refs[5 * NP + 3:]
+    ins, outs = refs[:5 * NP + 3], refs[5 * NP + 3:5 * NP + 3 + 53]
     p_in, tp_in = ins[0:NP], ins[NP:2 * NP]
     m_in, v_in = ins[2 * NP:3 * NP], ins[3 * NP:4 * NP]
     opp_in = ins[4 * NP:5 * NP]
@@ -417,6 +418,26 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
     base = cfg_ref[4]    # prior global steps mod L*R (window + ring phase)
     s_glob = base + i    # global step index mod L*R (exact until warm)
 
+    if ring_hbm:
+        # HBM-resident window-slab ring (cf. ops.fused_trainer ring_hbm).
+        # The ring is written only on flush steps (every L-th), so the
+        # store path stages the full window slab and DMAs it out while
+        # the learner runs; sample windows prefetch one step ahead.  A
+        # sampled round flushed THIS step is patched from the stage
+        # buffer (the VMEM path flushes before the learner reads).
+        stage, samp_buf, ssem, store_sem = refs[5 * NP + 3 + 53:]
+        slot = lax.rem(i, jnp.int32(2))
+        r_cur = lax.rem(lax.div(s_glob, jnp.int32(L)), jnp.int32(R))
+
+        def samp_dma(step_slot, step_round, step_col):
+            return pltpu.make_async_copy(
+                ring_o.at[pl.ds(step_round * WF, WF), pl.ds(step_col * B, B)],
+                samp_buf.at[step_slot], ssem.at[step_slot])
+
+        def store_dma():
+            return pltpu.make_async_copy(
+                stage, ring_o.at[pl.ds(r_cur * WF, WF), :], store_sem)
+
     @pl.when(i == 0)
     def _():
         for dst, src in zip(p_o + tp_o + m_o + v_o,
@@ -424,8 +445,14 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
             dst[:] = src[:]
         env_o[:] = env_in[:]
         win_o[:] = win_in[:]
-        ring_o[:] = ring_in[:]
+        if not ring_hbm:
+            ring_o[:] = ring_in[:]
         met_o[:] = jnp.zeros((4, n), jnp.float32)
+        if ring_hbm:
+            samp_dma(jnp.int32(0), rounds_ref[0], cols_ref[0]).start()
+
+    if ring_hbm:
+        samp_dma(slot, rounds_ref[i], cols_ref[i]).wait()
 
     if greedy:
         bits = (None,) * 4
@@ -531,11 +558,18 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
     # the post-reset obs ------------------------------------------------------
     emit = wl == jnp.int32(L - 1)
 
-    @pl.when(emit)
-    def _():
-        r_cur = lax.rem(lax.div(s_glob, jnp.int32(L)), jnp.int32(R))
-        ring_o[pl.ds(r_cur * WF, WF), :] = win_o[:]
-        win_o[0:C.OBS_DIM, :] = obs_post
+    if ring_hbm:
+        @pl.when(emit)
+        def _():
+            stage[:] = win_o[:]
+            store_dma().start()
+            win_o[0:C.OBS_DIM, :] = obs_post
+    else:
+        @pl.when(emit)
+        def _():
+            r_cur = lax.rem(lax.div(s_glob, jnp.int32(L)), jnp.int32(R))
+            ring_o[pl.ds(r_cur * WF, WF), :] = win_o[:]
+            win_o[0:C.OBS_DIM, :] = obs_post
 
     # --- learner (gated on ring full; agents.drqn gates on cursor >=
     # batch_size -- see module docstring) -------------------------------------
@@ -545,7 +579,11 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
 
     @pl.when(can_learn)
     def _():
-        if B == n:
+        if ring_hbm:
+            hit = emit & (rounds_ref[i] == r_cur)
+            sampled = jnp.where(hit, stage[:, pl.ds(cols_ref[i] * B, B)],
+                                samp_buf[slot])
+        elif B == n:
             sampled = ring_o[pl.ds(rounds_ref[i] * WF, WF), :]
         else:
             sampled = ring_o[pl.ds(rounds_ref[i] * WF, WF),
@@ -592,6 +630,18 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
     env_o[11 + 2 * HID:11 + 3 * HID] = jnp.where(done_f, 0.0, h2n)
     env_o[11 + 3 * HID:11 + 4 * HID] = jnp.where(done_f, 0.0, c2n)
 
+    if ring_hbm:
+        # A flush's store must land before the next step's sample
+        # prefetch may read the flushed round.
+        @pl.when(emit)
+        def _():
+            store_dma().wait()
+
+        @pl.when(i < pl.num_programs(0) - 1)
+        def _():
+            samp_dma(lax.rem(i + jnp.int32(1), jnp.int32(2)),
+                     rounds_ref[i + 1], cols_ref[i + 1]).start()
+
 
 # ---------------------------------------------------------------------------
 # Host API (mirrors ops.fused_trainer's chunk/resume contract)
@@ -637,8 +687,65 @@ def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, L,
     )(cfg, rewards_vec, rounds, cols, *arrays)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("num_steps", "n", "R", "B", "L", "burn_in",
+                              "opp", "p_greedy", "num_actions", "gamma",
+                              "lr", "target_sync", "greedy", "random_start",
+                              "interpret"),
+    donate_argnames=("ring",))
+def _call_hbm(cfg, rewards_vec, rounds, cols, arrays, ring, num_steps, n, R,
+              B, L, burn_in, opp, p_greedy, num_actions, gamma, lr,
+              target_sync, greedy, random_start=False, interpret=False):
+    """HBM-ring launch (cf. ops.fused_trainer._call_hbm): the window-slab
+    ring is an ANY-space operand aliased in/out to one donated HBM
+    buffer.  Frees the R*WF*n VMEM slab -- the margin that lets the
+    width-256 recurrent trunk compile (docs/BENCHMARKS.md 'Recurrent
+    width scaling' OOM boundary) -- and unbounds R."""
+    kernel = functools.partial(
+        _kernel, n=n, R=R, B=B, L=L, burn_in=burn_in, opp=opp,
+        p_greedy=p_greedy, num_actions=num_actions, gamma=gamma, lr=lr,
+        target_sync=target_sync, greedy=greedy, random_start=random_start,
+        ring_hbm=True)
+    WF = (L + 1) * SLOT
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+                + [whole(a.shape) for a in arrays]
+                + [pl.BlockSpec(memory_space=pl.ANY)])
+    state_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                    for a in arrays[:48]]          # p, tp, m, v
+    out_shape = tuple(
+        state_shapes
+        + [jax.ShapeDtypeStruct((ENV_ROWS, n), jnp.float32),
+           jax.ShapeDtypeStruct((WF, n), jnp.float32),
+           jax.ShapeDtypeStruct((R * WF, n), jnp.float32),
+           jax.ShapeDtypeStruct((4, n), jnp.float32),
+           jax.ShapeDtypeStruct((8, 128), jnp.float32)])
+    out_specs = tuple(
+        [whole(s.shape) for s in state_shapes]
+        + [whole((ENV_ROWS, n)), whole((WF, n)),
+           pl.BlockSpec(memory_space=pl.ANY),
+           whole((4, n)), whole((8, 128))])
+    extra = {"interpret": True} if interpret else {}
+    return pl.pallas_call(
+        kernel, grid=(num_steps,), in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape,
+        # ring operand = input 4 (cfg..cols) + 62 (p..win); ring_o = 50
+        input_output_aliases={4 + len(arrays): 50},
+        scratch_shapes=[
+            pltpu.VMEM((WF, n), jnp.float32),       # flush stage
+            pltpu.VMEM((2, WF, B), jnp.float32),    # sample windows
+            pltpu.SemaphoreType.DMA((2,)),          # sample sems
+            pltpu.SemaphoreType.DMA(()),            # store sem
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        **extra,
+    )(cfg, rewards_vec, rounds, cols, *arrays, ring)
+
+
 def fused_drqn_init(key, cfg, env_params, num_envs, opp_params=None,
-                    learn_batch=None):
+                    learn_batch=None, ring_hbm=None):
     """Fresh training state for the single-kernel DRQN trainer.
 
     ``cfg``: agents.drqn.DRQNConfig.  ``cfg.memory_capacity`` counts
@@ -650,6 +757,13 @@ def fused_drqn_init(key, cfg, env_params, num_envs, opp_params=None,
     uniformly chosen round, multiple of 128 dividing num_envs (the
     sampling deviation in the module docstring).  Returns a plain dict
     carry (orbax-serializable; resume == continue).
+
+    ``ring_hbm`` (default None = auto, on when the VMEM ring would
+    exceed 24 MB): keep the window-slab ring in HBM with DMA staging
+    (cf. ops.fused_trainer ring_hbm) -- frees the VMEM margin that the
+    width-256 recurrent trunk needs, and unbounds R.  Bit-exact vs the
+    VMEM ring (tests/test_fused_drqn_e2e.py runs both modes); the ring
+    buffer is DONATED each chunk.
     """
     from merging_gym_tpu.nn.lstm import drqn_init
     from merging_gym_tpu.ops.fused_trainer import _init_env_rows
@@ -685,10 +799,13 @@ def fused_drqn_init(key, cfg, env_params, num_envs, opp_params=None,
         e[6] - e[4], e[7] - e[5], e[3] - e[2], C.END_POINT - e[0], e[2],
         e[4] - e[6], e[5] - e[7], e[2] - e[3], C.END_POINT - e[1], e[3],
     ])
+    if ring_hbm is None:
+        ring_hbm = R * WF * n * 4 > 24 * 1024 * 1024
     return {
         "p": p, "tp": tp, "m": zeros12, "v": zeros12, "opp": opp,
         "env": jnp.asarray(env), "win": jnp.asarray(win),
         "ring": jnp.zeros((R * WF, n), jnp.float32),
+        "ring_hbm": int(bool(ring_hbm)),
         "R": R, "n": n, "B": B, "L": L, "warm": 0, "learns": 0, "steps": 0,
         "env_steps": 0,
         "episodes": 0.0, "collisions": 0.0, "wins": 0.0, "sum_ep_reward": 0.0,
@@ -705,6 +822,7 @@ def coerce_drqn_carry(carry):
     out = dict(carry)
     for k in ("R", "n", "B", "L", "warm", "learns", "steps", "env_steps"):
         out[k] = int(out.get(k, 0))
+    out["ring_hbm"] = int(out.get("ring_hbm", 0))
     for k in ("episodes", "collisions", "wins", "sum_ep_reward", "last_loss"):
         out[k] = float(out[k])
     for k in ("p", "tp", "m", "v", "opp"):
@@ -794,16 +912,25 @@ def fused_drqn_chunk(cfg, env_params, carry, num_steps, seed, *,
     if env_params.random_start and greedy:
         raise ValueError("random starts need the on-chip PRNG, which "
                          "greedy mode skips; drop one of the two")
-    arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
-              + list(carry["v"]) + list(carry["opp"])
-              + [carry["env"], carry["win"], carry["ring"]])
-    out = _call(drqn_launch_cfg(carry, env_params, seed),
-                rewards_cfg(env_params), rounds, cols, tuple(arrays),
-                num_steps, n, R, B, L, int(cfg.burn_in), cfg.opponent,
-                _phi(cfg.epsilon), cfg.num_actions, float(cfg.gamma),
-                float(cfg.lr), int(cfg.target_sync), bool(greedy),
-                random_start=bool(env_params.random_start),
-                interpret=_interpret_flag())
+    common = (num_steps, n, R, B, L, int(cfg.burn_in), cfg.opponent,
+              _phi(cfg.epsilon), cfg.num_actions, float(cfg.gamma),
+              float(cfg.lr), int(cfg.target_sync), bool(greedy))
+    kw = dict(random_start=bool(env_params.random_start),
+              interpret=_interpret_flag())
+    if carry.get("ring_hbm"):
+        arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
+                  + list(carry["v"]) + list(carry["opp"])
+                  + [carry["env"], carry["win"]])
+        out = _call_hbm(drqn_launch_cfg(carry, env_params, seed),
+                        rewards_cfg(env_params), rounds, cols,
+                        tuple(arrays), carry["ring"], *common, **kw)
+    else:
+        arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
+                  + list(carry["v"]) + list(carry["opp"])
+                  + [carry["env"], carry["win"], carry["ring"]])
+        out = _call(drqn_launch_cfg(carry, env_params, seed),
+                    rewards_cfg(env_params), rounds, cols, tuple(arrays),
+                    *common, **kw)
     met = np.asarray(out[51]).sum(axis=1)
     return apply_drqn_chunk(carry, out, num_steps, met,
                             float(np.asarray(out[52])[0, 0]))

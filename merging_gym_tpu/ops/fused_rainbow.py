@@ -545,11 +545,12 @@ def _fresh_eps():
 def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, us_ref, *refs,
             n, R, B, opp, roll, p_greedy, has_eps, gamma, lr, sync_eps,
             obs_scale, faithful, greedy, random_start, per, n_step,
-            alpha, beta):
+            alpha, beta, ring_hbm=False):
     # inputs: p 8, tp 8, m 8, v 8, eps 2, teps 2, opp 6, env 1, ring 1 (44)
     # outputs: p 8, tp 8, m 8, v 8, eps 2, teps 2, env 1, ring 1, met 1,
     #          loss 1  (40)
-    ins, outs = refs[:44], refs[44:]
+    # ring_hbm (uniform path only) adds 3 scratch refs: stage, samp, sems
+    ins, outs = refs[:44], refs[44:84]
     p_in, tp_in, m_in, v_in = ins[0:8], ins[8:16], ins[16:24], ins[24:32]
     eps_in, teps_in = ins[32:34], ins[34:36]
     opp_in, env_in, ring_in = ins[36:42], ins[42], ins[43]
@@ -561,6 +562,38 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, us_ref, *refs,
     warm = cfg_ref[2]
     prior_learns = cfg_ref[3]
     base = cfg_ref[4]        # prior steps % R (== prior steps while warm==0)
+    r_cur = lax.rem(base + i, jnp.int32(R))
+
+    if ring_hbm:
+        # HBM-resident ring, uniform sampling path (the reference's own
+        # Rainbow configuration, ranbowdqn.py:647: uniform buffer,
+        # capacity 10000).  Same DMA pipeline as ops.fused_trainer's
+        # ring_hbm, simplified by the unconditional store (no old-row
+        # merge) and extended to n_step consecutive-round reads: each
+        # step prefetches the next step's n_step [NUM_F, B] windows.  A
+        # prefetched round equal to the next step's own write round is
+        # patched from the staged slab at learn time.
+        assert not per, "PER keeps the VMEM ring (see fused_rainbow_init)"
+        stage, samp_buf, sems = refs[84:87]
+        slot = lax.rem(i, jnp.int32(2))
+
+        def samp_dma(step_slot, k, start_round, step_col):
+            pk = lax.rem(start_round + k, jnp.int32(R))
+            return pltpu.make_async_copy(
+                ring_o.at[pl.ds(pk * NUM_F, NUM_F), pl.ds(step_col * B, B)],
+                samp_buf.at[step_slot, pl.ds(k * NUM_F, NUM_F), :],
+                sems.at[step_slot, k])
+
+        def store_dma(step_slot, step_round):
+            return pltpu.make_async_copy(
+                stage.at[step_slot],
+                ring_o.at[pl.ds(step_round * NUM_F, NUM_F), :],
+                sems.at[step_slot, n_step])
+
+        def issue_prefetches(step_slot, step):
+            for k in range(n_step):
+                samp_dma(step_slot, k, rounds_ref[step],
+                         cols_ref[step]).start()
 
     @pl.when(i == 0)
     def _():
@@ -568,8 +601,15 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, us_ref, *refs,
                             p_in + tp_in + m_in + v_in + eps_in + teps_in):
             dst[:] = src[:]
         env_o[:] = env_in[:]
-        ring_o[:] = ring_in[:]
+        if not ring_hbm:
+            ring_o[:] = ring_in[:]
         met_o[:] = jnp.zeros((4, n), jnp.float32)
+        if ring_hbm:
+            issue_prefetches(jnp.int32(0), jnp.int32(0))
+
+    if ring_hbm:
+        for k in range(n_step):
+            samp_dma(slot, k, rounds_ref[i], cols_ref[i]).wait()
 
     if not greedy:
         pltpu.prng_seed(cfg_ref[0] + i)
@@ -654,14 +694,17 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, us_ref, *refs,
     # --- replay write: unconditional (ranbowdqn.py:673); with PER the
     # slab's pad row carries the transition's priority, initialised to
     # the running max (pre-alpha) ** alpha (ranbowdqn.py:353-358) --------------
-    r_cur = lax.rem(base + i, jnp.int32(R))
     pad_row = _pow(maxp, alpha) if per else jnp.zeros((n,), jnp.float32)
     slab = jnp.concatenate([
         obs, next_obs,
         jnp.stack([a1.astype(jnp.float32), rewards[0],
                    done.astype(jnp.float32), pad_row]),
     ])
-    ring_o[pl.ds(r_cur * NUM_F, NUM_F), :] = slab
+    if ring_hbm:
+        stage[slot] = slab
+        store_dma(slot, r_cur).start()
+    else:
+        ring_o[pl.ds(r_cur * NUM_F, NUM_F), :] = slab
 
     # --- learner (gate: >= n_step + 1 stored rounds -- the vectorised
     # fill>batch of ranbowdqn.py:682, generalised so at least one n-step
@@ -703,6 +746,20 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, us_ref, *refs,
             w = _pow(p_sel * (nvalid / total), -beta)
             pmin = jnp.min(jnp.where(P > 0.0, P, jnp.inf))
             w = w * _pow(pmin * (nvalid / total), beta)         # [B]
+        elif ring_hbm:
+            # Prefetched [NUM_F, B] windows; a window whose round equals
+            # this step's write round is patched from the staged slab
+            # (the VMEM path reads the ring AFTER the write, so the
+            # current transition is sampleable -- same semantics here).
+            pos = rounds_ref[i]
+            slabs = []
+            for k in range(n_step):
+                pk = lax.rem(pos + k, jnp.int32(R)) if k else pos
+                win = samp_buf[slot, pl.ds(k * NUM_F, NUM_F), :]
+                mine = stage[slot, :, pl.ds(cols_ref[i] * B, B)]
+                slabs.append(jnp.where(pk == r_cur, mine, win))
+            batch = nstep_batch_from_slabs(slabs, gamma)
+            w = None
         else:
             pos = rounds_ref[i]
             slabs = []
@@ -801,6 +858,16 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, us_ref, *refs,
     env_o[11] = synced
     env_o[12] = ep_cum
 
+    if ring_hbm:
+        # Store must land before the next step's prefetches are issued
+        # (a drawn window may include the row just written).
+        store_dma(slot, r_cur).wait()
+
+        @pl.when(i < pl.num_programs(0) - 1)
+        def _():
+            issue_prefetches(lax.rem(i + jnp.int32(1), jnp.int32(2)),
+                             i + jnp.int32(1))
+
 
 # ---------------------------------------------------------------------------
 # Host API
@@ -848,8 +915,65 @@ def _call(cfg, rewards_vec, rounds, cols, us, arrays, num_steps, n, R, B,
     )(cfg, rewards_vec, rounds, cols, us, *arrays)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("num_steps", "n", "R", "B", "opp", "roll",
+                              "p_greedy", "has_eps", "gamma", "lr",
+                              "sync_eps", "obs_scale", "faithful", "greedy",
+                              "random_start", "n_step", "interpret"),
+    donate_argnames=("ring",))
+def _call_hbm(cfg, rewards_vec, rounds, cols, us, arrays, ring, num_steps,
+              n, R, B, opp, roll, p_greedy, has_eps, gamma, lr, sync_eps,
+              obs_scale, faithful, greedy, random_start=False, n_step=1,
+              interpret=False):
+    """HBM-ring launch for the UNIFORM sampling path (cf.
+    ops.fused_trainer._call_hbm): the ring is an ANY-space operand
+    aliased in/out to one donated HBM buffer; the kernel DMAs
+    [NUM_F, ...] rows through double-buffered VMEM scratch.  Ring
+    capacity is then HBM-bounded: R = 10000 rounds (the reference's
+    full Rainbow replay depth in time steps, ranbowdqn.py:647) fits at
+    8K envs (7.9 GB)."""
+    kernel = functools.partial(
+        _kernel, n=n, R=R, B=B, opp=opp, roll=roll, p_greedy=p_greedy,
+        has_eps=has_eps, gamma=gamma, lr=lr, sync_eps=sync_eps,
+        obs_scale=obs_scale, faithful=faithful, greedy=greedy,
+        random_start=random_start, per=False, n_step=n_step,
+        alpha=0.6, beta=0.4, ring_hbm=True)
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+                + [whole(a.shape) for a in arrays]
+                + [pl.BlockSpec(memory_space=pl.ANY)])
+    state_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                    for a in arrays[:36]]          # p, tp, m, v, eps, teps
+    out_shape = tuple(
+        state_shapes
+        + [jax.ShapeDtypeStruct((ENV_ROWS, n), jnp.float32),
+           jax.ShapeDtypeStruct((R * NUM_F, n), jnp.float32),
+           jax.ShapeDtypeStruct((4, n), jnp.float32),
+           jax.ShapeDtypeStruct((8, 128), jnp.float32)])
+    out_specs = tuple(
+        [whole(s.shape) for s in state_shapes]
+        + [whole((ENV_ROWS, n)), pl.BlockSpec(memory_space=pl.ANY),
+           whole((4, n)), whole((8, 128))])
+    extra = {"interpret": True} if interpret else {}
+    return pl.pallas_call(
+        kernel, grid=(num_steps,), in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape,
+        # ring operand = input index 5 (cfg..us) + 43 (p..env)
+        input_output_aliases={5 + len(arrays): 37},
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_F, n), jnp.float32),           # store stage
+            pltpu.VMEM((2, NUM_F * n_step, B), jnp.float32),  # sample windows
+            pltpu.SemaphoreType.DMA((2, n_step + 1)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        **extra,
+    )(cfg, rewards_vec, rounds, cols, us, *arrays, ring)
+
+
 def fused_rainbow_init(key, cfg, env_params, num_envs, opp_params=None,
-                       learn_batch=None):
+                       learn_batch=None, ring_hbm=None):
     """Fresh training state for the single-kernel Rainbow trainer.
 
     ``cfg``: agents.rainbow.RainbowConfig -- including ``per`` (on-chip
@@ -865,6 +989,17 @@ def fused_rainbow_init(key, cfg, env_params, num_envs, opp_params=None,
     (default cfg.batch_size rounded up to a multiple of 8) is the
     number of i.i.d. prioritised draws per learn.
     ``cfg.memory_capacity`` must be k*num_envs with k >= n_step + 1.
+
+    ``ring_hbm`` (default None = auto, uniform path only): keep the ring
+    in HBM and DMA [NUM_F, ...] windows through double-buffered VMEM
+    scratch (cf. ops.fused_trainer ring_hbm).  Auto turns it on when the
+    VMEM ring would exceed 24 MB.  Capacity then scales to HBM --
+    R = 10000 rounds, the reference's Rainbow replay depth in time
+    steps (ranbowdqn.py:647), fits at 8K envs.  PER keeps the VMEM
+    ring: its on-chip inverse-CDF and priority write-back scan the full
+    [R, n] priority grid with MXU one-hot contractions every learn,
+    which no memory space change removes -- reference-depth PER needs
+    the hierarchical round-sum design noted in docs/BENCHMARKS.md.
     """
     from merging_gym_tpu.nn.rainbow_net import rainbow_init, rainbow_sample_noise
 
@@ -906,6 +1041,12 @@ def fused_rainbow_init(key, cfg, env_params, num_envs, opp_params=None,
     # The frozen-opponent MLP refs must exist even when unused; keep them
     # tiny in L0/selfplay mode.
     n = num_envs
+    if ring_hbm is None:
+        ring_hbm = (not cfg.per) and R * NUM_F * n * 4 > 24 * 1024 * 1024
+    if ring_hbm and cfg.per:
+        raise ValueError("ring_hbm supports the uniform path only; PER's "
+                         "full-grid priority scan is VMEM-resident (see "
+                         "docstring)")
     env = np.zeros((ENV_ROWS, n), np.float32)
     env[0:8] = _init_env_rows(env_params, jax.random.fold_in(key, 7), n)
     env[13] = 1.0   # PER running max priority (per_init, per.py:44)
@@ -917,7 +1058,8 @@ def fused_rainbow_init(key, cfg, env_params, num_envs, opp_params=None,
             rainbow_sample_noise(k_n2, cfg.num_actions, cfg.num_atoms)),
         "opp": opp,
         "env": jnp.asarray(env), "ring": jnp.zeros((R * NUM_F, n), jnp.float32),
-        "R": R, "n": n, "B": B, "warm": 0, "learns": 0, "steps": 0,
+        "R": R, "n": n, "B": B, "ring_hbm": int(bool(ring_hbm)),
+        "warm": 0, "learns": 0, "steps": 0,
         "env_steps": 0,
         "episodes": 0.0, "collisions": 0.0, "wins": 0.0, "sum_ep_reward": 0.0,
         "last_loss": 0.0,
@@ -1042,22 +1184,44 @@ def fused_rainbow_chunk(cfg, env_params, carry, num_steps, seed, *,
     cfgv = jnp.asarray([seed, env_params.max_steps, carry["warm"],
                         carry["learns"], carry["steps"] % R,
                         min(carry["steps"], R)], jnp.int32)
-    arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
-              + list(carry["v"]) + list(carry["eps"]) + list(carry["teps"])
-              + list(carry["opp"]) + [carry["env"], carry["ring"]])
     has_eps = cfg.epsilon is not None
-    out = _call(cfgv, rewards_cfg(env_params), rounds, cols, us,
-                tuple(arrays),
-                num_steps, n, R, B, cfg.opponent, int(cfg.opponent_roll),
-                _phi(cfg.epsilon) if has_eps else 1.0, has_eps,
-                float(cfg.gamma), float(cfg.lr),
-                float(cfg.target_sync_episodes),
-                None if cfg.obs_scale is None else float(cfg.obs_scale),
-                bool(cfg.faithful_c51), bool(greedy),
-                random_start=bool(env_params.random_start),
-                per=bool(cfg.per), n_step=int(cfg.n_step),
-                alpha=float(cfg.per_alpha), beta=float(cfg.per_beta),
-                interpret=_interpret_flag())
+    if carry.get("ring_hbm"):
+        if cfg.per:
+            raise ValueError("ring_hbm carry with per config")
+        arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
+                  + list(carry["v"]) + list(carry["eps"])
+                  + list(carry["teps"]) + list(carry["opp"])
+                  + [carry["env"]])
+        out = _call_hbm(cfgv, rewards_cfg(env_params), rounds, cols, us,
+                        tuple(arrays), carry["ring"],
+                        num_steps, n, R, B, cfg.opponent,
+                        int(cfg.opponent_roll),
+                        _phi(cfg.epsilon) if has_eps else 1.0, has_eps,
+                        float(cfg.gamma), float(cfg.lr),
+                        float(cfg.target_sync_episodes),
+                        None if cfg.obs_scale is None
+                        else float(cfg.obs_scale),
+                        bool(cfg.faithful_c51), bool(greedy),
+                        random_start=bool(env_params.random_start),
+                        n_step=int(cfg.n_step),
+                        interpret=_interpret_flag())
+    else:
+        arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
+                  + list(carry["v"]) + list(carry["eps"])
+                  + list(carry["teps"])
+                  + list(carry["opp"]) + [carry["env"], carry["ring"]])
+        out = _call(cfgv, rewards_cfg(env_params), rounds, cols, us,
+                    tuple(arrays),
+                    num_steps, n, R, B, cfg.opponent, int(cfg.opponent_roll),
+                    _phi(cfg.epsilon) if has_eps else 1.0, has_eps,
+                    float(cfg.gamma), float(cfg.lr),
+                    float(cfg.target_sync_episodes),
+                    None if cfg.obs_scale is None else float(cfg.obs_scale),
+                    bool(cfg.faithful_c51), bool(greedy),
+                    random_start=bool(env_params.random_start),
+                    per=bool(cfg.per), n_step=int(cfg.n_step),
+                    alpha=float(cfg.per_alpha), beta=float(cfg.per_beta),
+                    interpret=_interpret_flag())
     met = np.asarray(out[38]).sum(axis=1)
     return apply_rainbow_chunk(carry, out[0:36], out[36], out[37],
                                num_steps, met,
@@ -1072,6 +1236,7 @@ def coerce_rainbow_carry(carry):
     for k in ("R", "n", "warm", "learns", "steps", "env_steps"):
         out[k] = int(out[k])
     out["B"] = int(out.get("B", out["n"]))
+    out["ring_hbm"] = int(out.get("ring_hbm", 0))
     for k in ("episodes", "collisions", "wins", "sum_ep_reward", "last_loss"):
         out[k] = float(out[k])
     for k in ("p", "tp", "m", "v", "eps", "teps", "opp"):

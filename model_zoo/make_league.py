@@ -4,7 +4,16 @@ All matchups are played under the reference's Phi(0.7)-greedy actor
 (human_player.py:158 -> main.py:99-112) -- pure-greedy from the
 deterministic start would collapse every env to one trajectory.
 
+``--greedy`` (VERDICT r4 item 9) re-runs the league under PURE-greedy
+actors with RANDOMIZED starts (core.env's random_start mode, the
+commented-out merging_env.py:219-221 distribution): trajectory
+diversity then comes from the start distribution instead of
+exploration noise, so the dominance table isolates the policies'
+deterministic play -- the mode a human effectively faces in
+human_player.py.  Writes league_greedy.json.
+
     python model_zoo/make_league.py [--num-envs 256] [--episodes 512]
+                                    [--greedy]
 """
 
 import argparse
@@ -19,7 +28,7 @@ import jax
 ZOO = os.path.dirname(os.path.abspath(__file__))
 
 
-def build_policies():
+def build_policies(greedy=False):
     """Load every zoo entry into the league's (stateless, recurrent)
     policy dicts -- dqn/rainbow/hdqn entries as stateless Policies,
     drqn entries as raw params for the recurrent rollout.  Factored out
@@ -55,15 +64,17 @@ def build_policies():
             algo = m.get("algo", "dqn")
         if algo == "rainbow":
             policies[name] = rainbow_policy(load_params_npz(npz, rb_like),
-                                            obs_scale=m.get("obs_scale"))
+                                            obs_scale=m.get("obs_scale"),
+                                            greedy=greedy)
         elif algo == "hdqn":
             nets = load_params_npz(npz, hd_like)
-            policies[name] = hdqn_policy(nets["upper"], nets["lower"])
+            policies[name] = hdqn_policy(nets["upper"], nets["lower"],
+                                         greedy=greedy)
         elif algo == "drqn":
             recurrent[name] = load_params_npz(npz, dr_like)
         else:
             params = load_params_npz(npz, like)
-            policies[name] = q_policy(qnet_apply, params, greedy=False)
+            policies[name] = q_policy(qnet_apply, params, greedy=greedy)
     return policies, recurrent
 
 
@@ -72,15 +83,19 @@ def main():
     ap.add_argument("--num-envs", type=int, default=256)
     ap.add_argument("--episodes", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--greedy", action="store_true",
+                    help="pure-greedy actors + randomized starts; writes "
+                         "league_greedy.json")
     args = ap.parse_args()
 
     from merging_gym_tpu.agents.evaluate import evaluate_mixed, round_robin
     from merging_gym_tpu.core.env import EnvParams
 
-    policies, recurrent = build_policies()
+    policies, recurrent = build_policies(greedy=args.greedy)
     print("league over:", ", ".join(list(policies) + list(recurrent)))
 
-    results = round_robin(policies, EnvParams(), jax.random.key(args.seed),
+    env_params = EnvParams(random_start=True) if args.greedy else EnvParams()
+    results = round_robin(policies, env_params, jax.random.key(args.seed),
                           num_envs=args.num_envs, min_episodes=args.episodes)
 
     # Recurrent (drqn) entries cannot ride the stateless two_player
@@ -95,12 +110,14 @@ def main():
                 continue
             key, k1, k2 = jax.random.split(key, 3)
             results[f"{rname} vs {oname}"] = evaluate_mixed(
-                seats[rname], oseat, EnvParams(), k1,
-                num_envs=args.num_envs, min_episodes=args.episodes)
+                seats[rname], oseat, env_params, k1,
+                num_envs=args.num_envs, min_episodes=args.episodes,
+                greedy=args.greedy)
             if oname not in recurrent:   # else covered by the outer loop
                 results[f"{oname} vs {rname}"] = evaluate_mixed(
-                    oseat, seats[rname], EnvParams(), k2,
-                    num_envs=args.num_envs, min_episodes=args.episodes)
+                    oseat, seats[rname], env_params, k2,
+                    num_envs=args.num_envs, min_episodes=args.episodes,
+                    greedy=args.greedy)
     rounded = {
         k: {m: (round(v, 3) if isinstance(v, float) else v)
             for m, v in r.items()
@@ -108,7 +125,8 @@ def main():
                      "timeout_rate", "mean_return_p1", "mean_return_p2")}
         for k, r in results.items()
     }
-    out = os.path.join(ZOO, "league.json")
+    out = os.path.join(ZOO,
+                       "league_greedy.json" if args.greedy else "league.json")
     with open(out, "w") as f:
         json.dump(rounded, f, indent=1)
     print("wrote", out)

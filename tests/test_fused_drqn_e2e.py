@@ -79,9 +79,9 @@ def _obs_rows(env8):
     ])
 
 
-def _mk(cfg, ep, n, learn_batch, seed, race=None):
+def _mk(cfg, ep, n, learn_batch, seed, race=None, ring_hbm=False):
     carry = FD.fused_drqn_init(jax.random.key(seed), cfg, ep, n,
-                               learn_batch=learn_batch)
+                               learn_batch=learn_batch, ring_hbm=ring_hbm)
     carry["p"] = _shrink(carry["p"])
     carry["tp"] = _shrink(carry["tp"])
     carry["opp"] = carry["p"]
@@ -244,9 +244,12 @@ def _check(cfg, carry, want, n):
                                rtol=2e-3, atol=1e-6)
 
 
-def test_e2e_selfplay_full_slab():
+@pytest.mark.parametrize("ring_hbm", [False, True])
+def test_e2e_selfplay_full_slab(ring_hbm):
     """B == n, selfplay opponent, 3 chunks (cold + warm continuation,
-    with a chunk boundary mid-window)."""
+    with a chunk boundary mid-window).  ring_hbm=True runs the SAME
+    lock with the HBM-resident DMA ring (flush staging, sample window
+    prefetch, staged-slab patch on a same-step flush hit)."""
     n, L, T = 128, 4, 26
     cfg = DRQNConfig(lr=1e-3, gamma=0.9, target_sync=5, seq_len=L,
                      burn_in=1, memory_capacity=2 * n,
@@ -257,7 +260,7 @@ def test_e2e_selfplay_full_slab():
     cols = np.zeros(T, np.int32)
 
     race = _race_start(n, seed=100)
-    carry = _mk(cfg, ep, n, None, seed=0, race=race)
+    carry = _mk(cfg, ep, n, None, seed=0, race=race, ring_hbm=ring_hbm)
     want = _xla_reference(cfg, ep, carry, rounds, cols, race=race)
     # splits=[3, 13]: the first chunk ends mid-window (3 < L) and before
     # the R*L-1 = 7 step ring warm-up, locking the cross-launch window
@@ -269,7 +272,8 @@ def test_e2e_selfplay_full_slab():
     _check(cfg, got, want, n)
 
 
-def test_e2e_l0_lane_window_batch():
+@pytest.mark.parametrize("ring_hbm", [False, True])
+def test_e2e_l0_lane_window_batch(ring_hbm):
     """B < n: the dynamic lane-window slice path, L0 opponent."""
     n, B, L, T = 256, 128, 4, 20
     cfg = DRQNConfig(lr=1e-3, gamma=0.9, target_sync=3, seq_len=L,
@@ -281,7 +285,7 @@ def test_e2e_l0_lane_window_batch():
     assert cols.min() == 0 and cols.max() == 1, "both windows exercised"
 
     race = _race_start(n, seed=200)
-    carry = _mk(cfg, ep, n, B, seed=3, race=race)
+    carry = _mk(cfg, ep, n, B, seed=3, race=race, ring_hbm=ring_hbm)
     want = _xla_reference(cfg, ep, carry, rounds, cols, race=race)
     got = _run_kernel_chunks(cfg, ep, carry, rounds, cols, splits=[])
     assert want["learns"] > 0

@@ -160,11 +160,12 @@ def _race_start(n, seed):
     return pos, vel
 
 
-def _mk(cfg, ep, n, seed, race=None, learn_batch=None):
+def _mk(cfg, ep, n, seed, race=None, learn_batch=None, ring_hbm=False):
     from merging_gym_tpu.core.geometry import lon2coord
 
     carry = FR.fused_rainbow_init(jax.random.key(seed), cfg, ep, n,
-                                  learn_batch=learn_batch)
+                                  learn_batch=learn_batch,
+                                  ring_hbm=ring_hbm)
     if race is not None:
         pos, vel = race
         env = np.asarray(carry["env"]).copy()
@@ -381,9 +382,11 @@ def _run_chunks(cfg, ep, carry, rounds, splits, cols=None):
     return carry
 
 
-def test_e2e_selfplay_faithful():
+@pytest.mark.parametrize("ring_hbm", [False, True])
+def test_e2e_selfplay_faithful(ring_hbm):
     """Self-play (correct roll 5), faithful C51 + obs_scale, episodic
-    target sync crossing, 2 chunks (cold + warm/noise continuation)."""
+    target sync crossing, 2 chunks (cold + warm/noise continuation).
+    ring_hbm=True runs the SAME lock with the HBM-resident DMA ring."""
     n, T = 128, 30
     cfg = RainbowConfig(lr=1e-3, gamma=0.9, target_sync_episodes=3,
                         memory_capacity=3 * n, obs_scale=0.01,
@@ -394,7 +397,7 @@ def test_e2e_selfplay_faithful():
                         np.arange(T)).astype(np.int32)
 
     race = _race_start(n, seed=500)
-    carry = _mk(cfg, ep, n, seed=0, race=race)
+    carry = _mk(cfg, ep, n, seed=0, race=race, ring_hbm=ring_hbm)
     want = _xla_reference(cfg, ep, carry, rounds,
                           *_noise_trees(carry), race=race)
     got = _run_chunks(cfg, ep, carry, rounds, splits=[3])
@@ -654,9 +657,13 @@ def test_e2e_per_1step():
     _check(got, want)
 
 
-def test_e2e_uniform_3step():
+@pytest.mark.parametrize("ring_hbm", [False, True])
+def test_e2e_uniform_3step(ring_hbm):
     """n-step on the uniform path: host-drawn valid START rounds, the
-    B-lane window slice, and the same slab-window reconstruction."""
+    B-lane window slice, and the same slab-window reconstruction.
+    ring_hbm=True additionally exercises the n-step window DMA prefetch
+    and the staged-slab patch when a window round equals the write
+    round."""
     n, B, T = 256, 128, 26
     cfg = RainbowConfig(lr=1e-3, gamma=0.9, target_sync_episodes=4,
                         memory_capacity=4 * n, obs_scale=0.01,
@@ -670,7 +677,8 @@ def test_e2e_uniform_3step():
     cols = rng.integers(0, n // B, T).astype(np.int32)
 
     race = _race_start(n, seed=902)
-    carry = _mk(cfg, ep, n, seed=9, race=race, learn_batch=B)
+    carry = _mk(cfg, ep, n, seed=9, race=race, learn_batch=B,
+                ring_hbm=ring_hbm)
     want = _xla_reference(cfg, ep, carry, rounds, *_noise_trees(carry),
                           race=race, cols=cols)
     got = _run_chunks(cfg, ep, carry, rounds, splits=[9], cols=cols)

@@ -32,13 +32,17 @@ def _free_port():
 
 @pytest.mark.slow
 @pytest.mark.parametrize("num_procs", [2, 4])
-def test_multi_process_distributed_training(num_procs):
+def test_multi_process_distributed_training(num_procs, tmp_path):
     """2 processes = the minimal cross-boundary topology; 4 processes =
     the BASELINE multi-host target shape (4 hosts), exercising a
-    non-trivial >2-rank Gloo allreduce tree."""
+    non-trivial >2-rank Gloo allreduce tree.  Covers all FOUR fused
+    local-SGD families (DQN/Rainbow/HDQN/DRQN) plus the XLA dp x tp
+    step and the multi-host checkpoint/resume roundtrip (CKPT tag:
+    restore-then-continue bitwise equals the uninterrupted run)."""
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["MGT_MP_CKPT_DIR"] = str(tmp_path / "mp_ckpt")
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "examples",
@@ -56,7 +60,10 @@ def test_multi_process_distributed_training(num_procs):
     ndev = 2 * num_procs         # 2 virtual devices per process
     for tag, steps in (("OK", 9 * (ndev // 2) * 4),
                        ("FUSED OK", 6 * ndev * 128),
-                       ("RAINBOW OK", 3 * ndev * 128)):
+                       ("RAINBOW OK", 3 * ndev * 128),
+                       ("HDQN OK", 3 * ndev * 128),
+                       ("DRQN OK", 6 * ndev * 128),
+                       ("CKPT OK", 15 * (ndev // 2) * 4)):
         want = [ln for out in outs for ln in out.splitlines()
                 if any(ln.startswith(f"PROC{i} {tag} env_steps")
                        for i in range(num_procs))]

@@ -60,9 +60,14 @@ def _run_in_fresh_process(test_name):
     two-device pmean tests, none of which had ever executed inside a
     full suite before round 4b) each run in a fresh interpreter; set
     MGT_SPMD_INPROC=1 to run them in-process for debugging."""
+    # -n 0 -p no:cacheprovider: without them the nested pytest inherits
+    # addopts "-n 2" from pyproject and spins up an xdist controller +
+    # two workers for a single test (ADVICE r4) -- the isolated run must
+    # be one plain fresh interpreter, which is also what the
+    # MGT_SPMD_INPROC=1 debugging story promises.
     r = subprocess.run(
-        [sys.executable, "-m", "pytest", "-q", "-x",
-         f"{__file__}::{test_name}"],
+        [sys.executable, "-m", "pytest", "-q", "-x", "-n", "0",
+         "-p", "no:cacheprovider", f"{__file__}::{test_name}"],
         capture_output=True, text=True, timeout=1800,
         env=dict(os.environ, MGT_SPMD_INPROC="1"))
     assert r.returncode == 0, (
@@ -601,3 +606,34 @@ def test_rainbow_two_device_equals_pmean_of_solo_kernels():
         for j in range(2):
             _assert_lane_concat(dist[k][j], a[k][j], b[k][j], f"{k}[{j}]")
     assert dist["learns"] == a["learns"] == b["learns"]
+
+
+@pytest.mark.skipif(os.environ.get("MGT_RUN_CRASH_CANARY") != "1",
+                    reason="full-suite crash canary: ~10 min; set "
+                           "MGT_RUN_CRASH_CANARY=1 to run")
+def test_crash_canary_full_suite_inprocess():
+    """Canary for the XLA:CPU backend_compile crash that forces the
+    subprocess isolation above (VERDICT r4 item 8).
+
+    Runs docs/xla_cpu_crash_repro.py -- the full suite in ONE process
+    with the isolation disabled, the smallest known repro (all bisected
+    subsets pass; see that script's minimization notes).  EXPECTED
+    outcome while the bug exists: the child dies on SIGSEGV/SIGABRT and
+    this test passes.  If the child EXITS 0, the compiler is fixed at
+    this jax version and this test FAILS LOUDLY so the scaffolding
+    (_run_in_fresh_process + the pyproject '-n 2' addopts) gets retired
+    instead of silently ossifying."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "xla_cpu_crash_repro",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "docs", "xla_cpu_crash_repro.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rc = mod.run()
+    assert rc < 0, (
+        "full-suite in-process run no longer crashes (exit "
+        f"{rc}): the XLA:CPU compiler bug appears FIXED -- retire the "
+        "subprocess scaffolding in tests/test_spmd_fused.py and the "
+        "xdist addopts in pyproject.toml (see docs/xla_cpu_crash_repro.py)")

@@ -89,3 +89,112 @@ def test_projection_terminal_and_near_integral():
     rewards = support.copy()                   # every atom value exactly
     dones = np.ones(n)
     _check(mass, rewards, dones, support)
+
+
+# ---------------------------------------------------------------------------
+# NoisyLinear de-transcription lock (VERDICT r4 item 7): the harness's
+# disclosed NoisyLinear transcription vs the package's nn.noisy -- the
+# two must agree on (a) exact forward semantics under transplanted
+# params/noise, (b) the deterministic sigma fills, and (c) the
+# init/noise DISTRIBUTIONS (mu range; factorized rank-1 sign*sqrt
+# noise moments) -- so the measurement instrument and the package layer
+# are locked to one definition.
+# ---------------------------------------------------------------------------
+
+def _torch_noisy(n_in=64, n_out=64, seed=0):
+    import torch.nn as nn
+
+    from benchmarks.reference_torch_rainbow import build_model
+    torch.manual_seed(seed)
+    model = build_model(torch, nn, F)()
+    layer = model.noisy_value1
+    assert layer.n_in == n_in and layer.n_out == n_out
+    return layer
+
+
+def test_noisy_forward_semantics_match_package():
+    """Transplant the torch layer's (mu, sigma, eps) into nn.noisy and
+    require identical outputs: the forward semantics of the disclosed
+    transcription and the package layer are one function."""
+    import jax
+    import jax.numpy as jnp
+
+    from merging_gym_tpu.nn.noisy import noisy_apply
+
+    layer = _torch_noisy(seed=3)
+    params = {
+        "w_mu": jnp.asarray(layer.weight_mu.detach().numpy().T),
+        "w_sigma": jnp.asarray(layer.weight_sigma.detach().numpy().T),
+        "b_mu": jnp.asarray(layer.bias_mu.detach().numpy()),
+        "b_sigma": jnp.asarray(layer.bias_sigma.detach().numpy()),
+    }
+    noise = {
+        "w_eps": jnp.asarray(layer.weight_epsilon.numpy().T),
+        "b_eps": jnp.asarray(layer.bias_epsilon.numpy()),
+    }
+    x = np.random.default_rng(0).standard_normal((16, 64)).astype(np.float32)
+    want = layer(torch.from_numpy(x)).detach().numpy()
+    got = np.asarray(noisy_apply(params, jnp.asarray(x), noise))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # Eval mode (mu-only) too.
+    got_eval = np.asarray(noisy_apply(params, jnp.asarray(x), None))
+    want_eval = (x @ layer.weight_mu.detach().numpy().T
+                 + layer.bias_mu.detach().numpy())
+    np.testing.assert_allclose(got_eval, want_eval, rtol=1e-5, atol=1e-5)
+
+
+def test_noisy_init_and_noise_statistics_match_package():
+    """Init/noise distribution lock: exact sigma fills, mu uniform range,
+    rank-1 factorized noise with sign*sqrt moments, on both sides."""
+    import jax
+    import jax.numpy as jnp
+
+    from merging_gym_tpu.nn.noisy import noisy_init, noisy_sample_noise
+
+    n_in = n_out = 64
+    t_mu, t_beps, j_mu, j_beps = [], [], [], []
+    for s in range(40):
+        layer = _torch_noisy(seed=100 + s)
+        jp = noisy_init(jax.random.key(s), n_in, n_out)
+        jn = noisy_sample_noise(jax.random.key(1000 + s), n_in, n_out)
+        # (b) deterministic sigma fills: exactly equal constants.
+        np.testing.assert_array_equal(
+            layer.weight_sigma.detach().numpy(),
+            np.full((n_out, n_in), 0.4 / np.sqrt(n_in), np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(jp["w_sigma"]),
+            np.full((n_in, n_out), 0.4 / np.sqrt(n_in), np.float32))
+        np.testing.assert_array_equal(
+            layer.bias_sigma.detach().numpy(),
+            np.full((n_out,), 0.4 / np.sqrt(n_out), np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(jp["b_sigma"]),
+            np.full((n_out,), 0.4 / np.sqrt(n_out), np.float32))
+        # mu strictly inside +-1/sqrt(n_in) on both sides.
+        r = 1.0 / np.sqrt(n_in)
+        for m in (layer.weight_mu.detach().numpy(),
+                  layer.bias_mu.detach().numpy(),
+                  np.asarray(jp["w_mu"]), np.asarray(jp["b_mu"])):
+            assert np.abs(m).max() <= r
+        # (c) factorized weight noise is EXACTLY rank 1 on both sides.
+        for eps in (layer.weight_epsilon.numpy(),
+                    np.asarray(jn["w_eps"])):
+            sv = np.linalg.svd(eps.astype(np.float64), compute_uv=False)
+            assert sv[1] <= 1e-6 * max(sv[0], 1e-30)
+        t_mu.append(layer.weight_mu.detach().numpy().ravel())
+        j_mu.append(np.asarray(jp["w_mu"]).ravel())
+        t_beps.append(layer.bias_epsilon.numpy())
+        j_beps.append(np.asarray(jn["b_eps"]))
+    # Distribution moments agree across the two RNG families: mu is
+    # U(-r, r) (mean 0, var r^2/3); bias eps is sign*sqrt(|N(0,1)|)
+    # (mean 0, second moment E|x| = sqrt(2/pi)).
+    t_mu, j_mu = np.concatenate(t_mu), np.concatenate(j_mu)
+    t_b, j_b = np.concatenate(t_beps), np.concatenate(j_beps)
+    r = 1.0 / np.sqrt(n_in)
+    for arr in (t_mu, j_mu):
+        assert abs(arr.mean()) < 0.02 * r
+        np.testing.assert_allclose(arr.var(), r * r / 3.0, rtol=0.05)
+    for arr in (t_b, j_b):
+        assert abs(arr.mean()) < 0.05
+        np.testing.assert_allclose((arr ** 2).mean(), np.sqrt(2 / np.pi),
+                                   rtol=0.1)
