@@ -53,13 +53,24 @@ def _phi(x: float) -> float:
     return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
 
 
-def _mlp_t(obs, w0, b0, w1, b1, w2, b2):
-    """Transposed MLP on env-last activations: [10, n] -> [A, n]."""
-    h = jnp.dot(w0[:], obs, preferred_element_type=jnp.float32) + b0[:]
-    h = jnp.maximum(h, 0.0)
-    h = jnp.dot(w1[:], h, preferred_element_type=jnp.float32) + b1[:]
-    h = jnp.maximum(h, 0.0)
-    return jnp.dot(w2[:], h, preferred_element_type=jnp.float32) + b2[:]
+def _mlp_t(obs, w0, b0, w1, b1, w2, b2, dtype=jnp.float32):
+    """Transposed MLP on env-last activations: [10, n] -> [A, n].
+
+    ``dtype``: compute dtype per the agents.dqn.compute_dtype contract --
+    weights arrive STORED in this dtype (halving their VMEM footprint at
+    bf16, which is what lets 4096-wide nets fit resident), activations
+    are downcast to it between layers, the MXU accumulates in f32
+    (preferred_element_type), and Q-values return f32 so greedy argmax
+    and the Phi(eps) selection stay full-precision.  At f32 every cast
+    is an identity.
+    """
+    c = lambda a: a.astype(dtype)
+    h = c(jnp.dot(w0[:], c(obs), preferred_element_type=jnp.float32)) + b0[:]
+    h = jnp.maximum(h, jnp.zeros((), dtype))
+    h = c(jnp.dot(w1[:], h, preferred_element_type=jnp.float32)) + b1[:]
+    h = jnp.maximum(h, jnp.zeros((), dtype))
+    q = c(jnp.dot(w2[:], h, preferred_element_type=jnp.float32)) + b2[:]
+    return q.astype(jnp.float32)
 
 
 def _argmax0(q):
@@ -86,7 +97,8 @@ def _kernel(cfg_ref, rewards_ref,
             w20, b20, w21, b21, w22, b22,
             act_ref, rew_ref, done_ref, win_ref, col_ref,
             pos_s, vel_s, xy_s, win_s, t_s,
-            *, n, p2_mlp, greedy, p_greedy, num_actions, random_start):
+            *, n, p2_mlp, greedy, p_greedy, num_actions, random_start,
+            compute_dtype="float32"):
     i_env = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -132,14 +144,15 @@ def _kernel(cfg_ref, rewards_ref,
         x2 - x1, y2 - y1, vel[1] - vel[0], C.END_POINT - pos[0], vel[0],
         x1 - x2, y1 - y2, vel[0] - vel[1], C.END_POINT - pos[1], vel[1],
     ])
+    cdt = jnp.dtype(compute_dtype)
     sel = functools.partial(_select, greedy=greedy, p_greedy=p_greedy,
                             num_actions=num_actions)
-    a1 = sel(_mlp_t(obs1, w10, b10, w11, b11, w12, b12),
+    a1 = sel(_mlp_t(obs1, w10, b10, w11, b11, w12, b12, cdt),
              None if greedy else bits[0], None if greedy else bits[1])
     if p2_mlp:
         # Half-swapped view for player 2 (main.py:199).
         obs2 = jnp.concatenate([obs1[5:], obs1[:5]])
-        a2 = sel(_mlp_t(obs2, w20, b20, w21, b21, w22, b22),
+        a2 = sel(_mlp_t(obs2, w20, b20, w21, b21, w22, b22, cdt),
                  None if greedy else bits[2], None if greedy else bits[3])
     else:
         a2 = jnp.full((n,), C.ACTION_NONE, jnp.int32)  # L0 opponent
@@ -167,14 +180,17 @@ def _kernel(cfg_ref, rewards_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("num_steps", "num_envs", "p2_mlp", "greedy",
-                              "p_greedy", "num_actions", "random_start"))
+                              "p_greedy", "num_actions", "random_start",
+                              "compute_dtype", "env_block"))
 def _call(cfg, rewards_vec, weights, num_steps, num_envs, p2_mlp, greedy,
-          p_greedy, num_actions, random_start):
-    n = min(num_envs, ENV_BLOCK)
+          p_greedy, num_actions, random_start, compute_dtype="float32",
+          env_block=ENV_BLOCK):
+    n = min(num_envs, env_block)
     assert num_envs % n == 0
     kernel = functools.partial(_kernel, n=n, p2_mlp=p2_mlp, greedy=greedy,
                                p_greedy=p_greedy, num_actions=num_actions,
-                               random_start=random_start)
+                               random_start=random_start,
+                               compute_dtype=compute_dtype)
     grid = (num_envs // n, num_steps)
     full = lambda shape: pl.BlockSpec(shape, lambda e, i: (0, 0),
                                       memory_space=pltpu.VMEM)
@@ -206,6 +222,10 @@ def _call(cfg, rewards_vec, weights, num_steps, num_envs, p2_mlp, greedy,
             pltpu.VMEM((1, n), jnp.int32),
             pltpu.VMEM((1, n), jnp.int32),
         ],
+        # Wide-net sweeps (benchmarks/fused_width_dtype.py) carry weight
+        # sets far past the default scoped-VMEM budget; cap, don't reserve.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
     )(cfg, rewards_vec, *weights)
     actions, rewards, done, winner, col = out
     return {
@@ -217,19 +237,20 @@ def _call(cfg, rewards_vec, weights, num_steps, num_envs, p2_mlp, greedy,
     }
 
 
-def _weight_args(params):
+def _weight_args(params, dtype=jnp.float32):
     out = []
     for i in range(3):
         p = params[f"fc{i}"]
-        out.append(jnp.asarray(p["w"], jnp.float32).T)
-        out.append(jnp.asarray(p["b"], jnp.float32)[:, None])
+        out.append(jnp.asarray(p["w"], jnp.float32).astype(dtype).T)
+        out.append(jnp.asarray(p["b"], jnp.float32).astype(dtype)[:, None])
     return out
 
 
 def fused_policy_rollout(num_steps: int, num_envs: int, params1,
                          params2=None, *, greedy: bool = True,
                          epsilon: float = 0.7, seed: int = 0,
-                         env_params=None):
+                         env_params=None, compute_dtype: str = "float32",
+                         env_block: int | None = None):
     """Run T policy-driven env steps for N envs in one kernel.
 
     ``params1`` (and optionally ``params2``) are Q-net param dicts as
@@ -239,10 +260,15 @@ def fused_policy_rollout(num_steps: int, num_envs: int, params1,
     reference Phi(epsilon)-greedy quirk to BOTH players via the on-chip
     PRNG (TPU only; distribution-equivalent to the jnp actor).
     Returns [T, ...]-stacked event trajectories in env-last layout.
+
+    ``compute_dtype="bfloat16"`` stores the weights bf16-resident (half
+    the VMEM, so 4096-wide nets fit) and runs both players' MLPs in
+    mixed precision (f32 MXU accumulation, f32 Q-values -- the
+    agents.dqn.compute_dtype contract).  ``env_block`` overrides the
+    per-grid-step env tile (default 4096); wide nets need a smaller
+    block so [H1, block] activations stay inside the VMEM budget.
     """
     assert num_envs % 128 == 0, "num_envs must be a multiple of 128"
-    assert num_envs % min(num_envs, ENV_BLOCK) == 0, (
-        f"num_envs above {ENV_BLOCK} must be a multiple of {ENV_BLOCK}")
     if env_params is None:
         from merging_gym_tpu.core.env import EnvParams
         env_params = EnvParams()
@@ -253,9 +279,20 @@ def fused_policy_rollout(num_steps: int, num_envs: int, params1,
         env_params.vel_penalty, env_params.time_penalty], jnp.float32)
     cfg = jnp.asarray([seed, env_params.max_steps], jnp.int32)
     p2_mlp = params2 is not None
-    weights = _weight_args(params1) + _weight_args(
-        params2 if p2_mlp else params1)  # placeholders ignored when L0
+    cdt = jnp.dtype(compute_dtype)
+    weights = _weight_args(params1, cdt) + _weight_args(
+        params2 if p2_mlp else params1, cdt)  # placeholders ignored when L0
     num_actions = int(params1["fc2"]["w"].shape[1])
+    if env_block is None:
+        # Keep the dominant per-block buffers ([H1, n] activations + the
+        # event outputs) inside the VMEM budget for wide nets.
+        h1 = int(params1["fc0"]["w"].shape[1])
+        env_block = ENV_BLOCK if h1 <= 1024 else (
+            1024 if h1 <= 2048 else 512)
+    env_block = min(num_envs, env_block)
+    assert num_envs % env_block == 0, (
+        f"num_envs above {env_block} must be a multiple of {env_block}")
     return _call(cfg, rewards_vec, tuple(weights), num_steps, num_envs,
                  p2_mlp, greedy, _phi(epsilon), num_actions,
-                 bool(env_params.random_start))
+                 bool(env_params.random_start), str(compute_dtype),
+                 env_block)

@@ -112,13 +112,24 @@ def _mm_tn(a, b):
                            preferred_element_type=jnp.float32)
 
 
-def _fwd(p, x):
-    w0T, b0, w1T, b1, w2T, b2 = p
-    z1 = _mm(w0T, x) + b0
-    h1 = jnp.maximum(z1, 0.0)
-    z2 = _mm(w1T, h1) + b1
-    h2 = jnp.maximum(z2, 0.0)
-    q = _mm(w2T, h2) + b2
+def _fwd(p, x, dtype=jnp.float32):
+    """Forward with activations/weight operands in ``dtype``.
+
+    Mirrors nn.mlp.qnet_apply's mixed-precision contract exactly: matmul
+    operands are cast to the compute dtype, the MXU still accumulates in
+    f32 (preferred_element_type in _mm), and the f32 product is downcast
+    before the bias add so inter-layer activations live in the compute
+    dtype.  Q-values return in f32 (agents.dqn._qnet_fwd).  At f32 every
+    cast is an identity, keeping that path byte-for-byte unchanged.
+    """
+    c = lambda a: a.astype(dtype)
+    w0T, b0, w1T, b1, w2T, b2 = (c(a) for a in p)
+    x = c(x)
+    z1 = c(_mm(w0T, x)) + b0
+    h1 = jnp.maximum(z1, jnp.zeros((), dtype))
+    z2 = c(_mm(w1T, h1)) + b1
+    h2 = jnp.maximum(z2, jnp.zeros((), dtype))
+    q = (c(_mm(w2T, h2)) + b2).astype(jnp.float32)
     return z1, h1, z2, h2, q
 
 
@@ -132,23 +143,32 @@ def _argmax0(q, num_actions):
 
 
 def learn_math(p, tp, m, v, batch, t, *, gamma, lr, num_actions,
-               mask_terminal=False):
+               mask_terminal=False, compute_dtype=jnp.float32):
     """One Double-DQN + Adam step; returns (new_p, new_m, new_v, loss).
 
     ``batch``: obs [IN, n], action i32 [n], reward [n], next_obs [IN, n],
     done bool [n].  ``t``: 1-based Adam step count (i32 scalar).
     Mirrors agents.dqn.td_loss + learn (main.py:143-157).
+
+    ``compute_dtype``: mixed precision per the agents.dqn.compute_dtype
+    contract -- forward AND backward matmul operands in this dtype with
+    f32 MXU accumulation, while master params, gradient values, the
+    TD-error/loss math and Adam stay f32.  bf16 doubles MXU throughput
+    at production net widths (benchmarks/fused_width_dtype.py); at f32
+    every cast is an identity and the math is unchanged.
     """
+    dtype = jnp.dtype(compute_dtype)
+    c = lambda a: a.astype(dtype)
     x, xn = batch["obs"], batch["next_obs"]
     n = x.shape[1]
     a_onehot = jnp.stack([(batch["action"] == j).astype(jnp.float32)
                           for j in range(num_actions)])          # [A, n]
 
-    z1, h1, z2, h2, q = _fwd(p, x)
+    z1, h1, z2, h2, q = _fwd(p, x, dtype)
     q_sel = jnp.sum(q * a_onehot, axis=0)                        # [n]
 
-    _, _, _, _, q_ne = _fwd(p, xn)
-    _, _, _, _, q_nt = _fwd(tp, xn)
+    _, _, _, _, q_ne = _fwd(p, xn, dtype)
+    _, _, _, _, q_nt = _fwd(tp, xn, dtype)
     best_a = _argmax0(q_ne, num_actions)
     star = jnp.stack([(best_a == j).astype(jnp.float32)
                       for j in range(num_actions)])
@@ -160,15 +180,23 @@ def learn_math(p, tp, m, v, batch, t, *, gamma, lr, num_actions,
     diff = q_sel - target
     loss = jnp.mean(diff * diff)
 
+    # Backward: matmul operands in the compute dtype (h1/h2 already are),
+    # f32 accumulation -- so gradient VALUES are f32, like the transpose
+    # of agents.dqn's bf16 forward.  At f32 the casts are identities.
     w0T, b0, w1T, b1, w2T, b2 = p
-    dq = a_onehot * ((2.0 / n) * diff)                           # [A, n]
-    dw2T = _mm_nt(dq, h2)                                        # [A, H2]
+    dq = a_onehot * ((2.0 / n) * diff)                           # [A, n] f32
+    # ReLU masks compare in f32: Mosaic (v5e) rejects bf16 vector cmpf
+    # ("Target does not support this comparison"); the f32 upcast of a
+    # bf16 value is exact, so the mask is unchanged.
+    mask2 = (z2.astype(jnp.float32) > 0.0).astype(jnp.float32)
+    mask1 = (z1.astype(jnp.float32) > 0.0).astype(jnp.float32)
+    dw2T = _mm_nt(c(dq), h2)                                     # [A, H2]
     db2 = jnp.sum(dq, axis=1, keepdims=True)
-    dz2 = _mm_tn(w2T, dq) * (z2 > 0.0).astype(jnp.float32)       # [H2, n]
-    dw1T = _mm_nt(dz2, h1)                                       # [H2, H1]
+    dz2 = _mm_tn(c(w2T), c(dq)) * mask2                          # [H2, n]
+    dw1T = _mm_nt(c(dz2), h1)                                    # [H2, H1]
     db1 = jnp.sum(dz2, axis=1, keepdims=True)
-    dz1 = _mm_tn(w1T, dz2) * (z1 > 0.0).astype(jnp.float32)      # [H1, n]
-    dw0T = _mm_nt(dz1, x)                                        # [H1, IN]
+    dz1 = _mm_tn(c(w1T), c(dz2)) * mask1                         # [H1, n]
+    dw0T = _mm_nt(c(dz1), c(x))                                  # [H1, IN]
     db0 = jnp.sum(dz1, axis=1, keepdims=True)
     grads = (dw0T, db0, dw1T, db1, dw2T, db2)
 
@@ -208,7 +236,8 @@ def t_to_params(pt):
 
 def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
             n, R, B, K, opp, p_greedy, num_actions, gamma, lr, target_sync,
-            mask_terminal, greedy, random_start, ring_hbm=False):
+            mask_terminal, greedy, random_start, ring_hbm=False,
+            compute_dtype="float32"):
     # inputs: p 6, tp 6, m 6, v 6, opp 6, env 1, ring 1  (32 refs)
     # outputs: p 6, tp 6, m 6, v 6, env 1, ring 1, met 1, loss 1 (28 refs)
     # ring_hbm adds 4 scratch refs: stage, old_buf, samp_buf, sems
@@ -308,11 +337,12 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
     ])
 
     # --- actor (Phi(eps)-greedy, main.py:105) -------------------------------
+    cdt = jnp.dtype(compute_dtype)
     p_now = tuple(r[:] for r in p_o)
     threshold = jnp.uint32(min(int(p_greedy * 4294967296.0), 4294967295))
 
     def eps_greedy(params6, x, mask_b, rand_b):
-        _, _, _, _, q = _fwd(params6, x)
+        _, _, _, _, q = _fwd(params6, x, cdt)
         best_a = _argmax0(q, num_actions)
         if greedy:
             return best_a
@@ -411,7 +441,7 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
         new_p, new_m, new_v, loss = learn_math(
             p6, tp6, tuple(r[:] for r in m_o), tuple(r[:] for r in v_o),
             batch, lc + 1, gamma=gamma, lr=lr, num_actions=num_actions,
-            mask_terminal=mask_terminal)
+            mask_terminal=mask_terminal, compute_dtype=cdt)
         for dst, val in zip(p_o + tp_o + m_o + v_o,
                             new_p + tp6 + new_m + new_v):
             dst[:] = val
@@ -469,15 +499,16 @@ def _kernel(cfg_ref, rewards_ref, rounds_ref, cols_ref, *refs,
     jax.jit, static_argnames=("num_steps", "n", "R", "B", "K", "opp",
                               "p_greedy", "num_actions", "gamma", "lr",
                               "target_sync", "mask_terminal", "greedy",
-                              "random_start", "interpret"))
+                              "random_start", "interpret", "compute_dtype"))
 def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, K, opp,
           p_greedy, num_actions, gamma, lr, target_sync, mask_terminal,
-          greedy, random_start=False, interpret=False):
+          greedy, random_start=False, interpret=False,
+          compute_dtype="float32"):
     kernel = functools.partial(
         _kernel, n=n, R=R, B=B, K=K, opp=opp, p_greedy=p_greedy,
         num_actions=num_actions, gamma=gamma, lr=lr,
         target_sync=target_sync, mask_terminal=mask_terminal, greedy=greedy,
-        random_start=random_start)
+        random_start=random_start, compute_dtype=compute_dtype)
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
@@ -516,11 +547,12 @@ def _call(cfg, rewards_vec, rounds, cols, arrays, num_steps, n, R, B, K, opp,
     jax.jit, static_argnames=("num_steps", "n", "R", "B", "K", "opp",
                               "p_greedy", "num_actions", "gamma", "lr",
                               "target_sync", "mask_terminal", "greedy",
-                              "random_start", "interpret"),
+                              "random_start", "interpret", "compute_dtype"),
     donate_argnames=("ring",))
 def _call_hbm(cfg, rewards_vec, rounds, cols, arrays, ring, num_steps, n, R,
               B, K, opp, p_greedy, num_actions, gamma, lr, target_sync,
-              mask_terminal, greedy, random_start=False, interpret=False):
+              mask_terminal, greedy, random_start=False, interpret=False,
+              compute_dtype="float32"):
     """HBM-ring launch: like ``_call`` but the ring is an ANY-space
     operand aliased in/out to one (donated) HBM buffer, never copied
     through VMEM; the kernel DMAs [NUM_F, ...] rows in and out with
@@ -532,7 +564,7 @@ def _call_hbm(cfg, rewards_vec, rounds, cols, arrays, ring, num_steps, n, R,
         _kernel, n=n, R=R, B=B, K=K, opp=opp, p_greedy=p_greedy,
         num_actions=num_actions, gamma=gamma, lr=lr,
         target_sync=target_sync, mask_terminal=mask_terminal, greedy=greedy,
-        random_start=random_start, ring_hbm=True)
+        random_start=random_start, ring_hbm=True, compute_dtype=compute_dtype)
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
@@ -791,7 +823,8 @@ def fused_dqn_chunk(cfg, env_params, carry, num_steps, seed, *,
               cfg.num_actions, float(cfg.gamma), float(cfg.lr),
               int(cfg.target_sync), bool(cfg.mask_terminal), bool(greedy))
     kw = dict(random_start=bool(env_params.random_start),
-              interpret=_interpret_flag())
+              interpret=_interpret_flag(),
+              compute_dtype=str(getattr(cfg, "compute_dtype", "float32")))
     if carry.get("ring_hbm"):
         arrays = (list(carry["p"]) + list(carry["tp"]) + list(carry["m"])
                   + list(carry["v"]) + list(carry["opp"]) + [carry["env"]])

@@ -683,7 +683,8 @@ def _fused_dqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
                        B: int, K: int, opp: int, p_greedy: float,
                        num_actions: int, gamma: float, lr: float,
                        target_sync: int, mask_terminal: bool, greedy: bool,
-                       random_start: bool, interpret: bool):
+                       random_start: bool, interpret: bool,
+                       compute_dtype: str = "float32"):
     """Build (and cache) the jitted shard_map for one fused-DQN config.
 
     All per-chunk values -- the chunk seed and the warm/learns/ring-base
@@ -718,7 +719,7 @@ def _fused_dqn_sharded(mesh: Mesh, num_steps: int, n_local: int, R: int,
                        n_local, R, B, K, opp, p_greedy,
                        num_actions, gamma, lr, target_sync, mask_terminal,
                        greedy, random_start=random_start,
-                       interpret=interpret)
+                       interpret=interpret, compute_dtype=compute_dtype)
         po, tpo, mo, vo = out[0:6], out[6:12], out[12:18], out[18:24]
         env_o, ring_o, met_o, loss_o = out[24], out[25], out[26], out[27]
         # Chunk-boundary local-SGD averaging over ICI; metric sums are
@@ -753,7 +754,8 @@ def spmd_fused_dqn_chunk(mesh: Mesh, cfg: D.DQNConfig, env_params: EnvParams,
                             cfg.num_actions, float(cfg.gamma), float(cfg.lr),
                             int(cfg.target_sync), bool(cfg.mask_terminal),
                             bool(greedy), bool(env_params.random_start),
-                            FT._interpret_flag())
+                            FT._interpret_flag(),
+                            str(getattr(cfg, "compute_dtype", "float32")))
     scal = jnp.asarray([seed, env_params.max_steps, carry["warm"],
                         carry["learns"], carry.get("steps", 0) % R],
                        jnp.int32)

@@ -129,3 +129,47 @@ def test_episodes_terminate_and_autoreset():
     assert (last - first <= 2500).all()
     per_env = done.sum(axis=0)
     assert (per_env >= T // 101).all()
+
+
+def test_bf16_rollout_agrees_with_f32():
+    """f32-vs-bf16 agreement for the policy-in-kernel rollout (VERDICT r4
+    item 2).  With decisively separated last-layer biases the greedy
+    argmax is dtype-independent, so the whole bf16 trajectory (actions,
+    f32 env math, rewards, outcomes) must equal the f32 one exactly; a
+    direct _mlp_t check locks the Q-agreement band itself (mirroring
+    tests/test_dqn.py::test_bf16_forward_close_to_f32)."""
+    import jax.numpy as jnp
+
+    from merging_gym_tpu.ops.fused_policy_rollout import _mlp_t, _weight_args
+
+    T, N = 60, 128
+    params = _params(6)
+    # Spread the output biases so argmax is decisive in either precision.
+    params["fc2"]["b"] = params["fc2"]["b"] + jnp.arange(
+        C.NUM_ACTIONS, dtype=jnp.float32) * 300.0
+    out32 = FPR.fused_policy_rollout(T, N, params, params, greedy=True)
+    out16 = FPR.fused_policy_rollout(T, N, params, params, greedy=True,
+                                     compute_dtype="bfloat16")
+    np.testing.assert_array_equal(np.asarray(out16["actions"]),
+                                  np.asarray(out32["actions"]))
+    np.testing.assert_array_equal(np.asarray(out16["rewards"]),
+                                  np.asarray(out32["rewards"]))
+    np.testing.assert_array_equal(np.asarray(out16["done"]),
+                                  np.asarray(out32["done"]))
+    np.testing.assert_array_equal(np.asarray(out16["winner"]),
+                                  np.asarray(out32["winner"]))
+
+    # Q-band: bf16-stored weights + bf16 activations track f32 Q-values
+    # within bf16 resolution (f32 MXU accumulation).
+    p2 = _params(7)
+    obs = jax.random.normal(jax.random.key(3), (10, 256), jnp.float32) * 50.0
+    w32 = [jnp.asarray(a) for a in _weight_args(p2)]
+    w16 = [jnp.asarray(a) for a in _weight_args(p2, jnp.bfloat16)]
+    class _R:  # minimal ref shim: _mlp_t reads w[:]
+        def __init__(self, a): self.a = a
+        def __getitem__(self, k): return self.a[k]
+    q32 = _mlp_t(obs, *[_R(a) for a in w32])
+    q16 = _mlp_t(obs, *[_R(a) for a in w16], dtype=jnp.bfloat16)
+    assert q16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(q16), np.asarray(q32),
+                               rtol=5e-2, atol=5e-2)
