@@ -5,9 +5,15 @@ and compute dtypes; this is the same study for the PALLAS kernels --
 the single-kernel DQN trainer (ops.fused_trainer, compute_dtype now
 threaded through the kernel) and the policy-in-kernel rollout
 (ops.fused_policy_rollout, bf16-STORED weights) -- with counted-FLOP
-MXU utilisation per row, against the chip ceilings used by
-benchmarks/roofline.py (f32 ~90 TFLOP/s measured, bf16 197 TFLOP/s
-nominal).
+MXU utilisation per row against the 197 TFLOP/s nominal bf16 peak for
+BOTH dtype labels: on TPU, JAX's DEFAULT dot precision runs f32 matmuls
+as bf16 multiplies with f32 accumulation (benchmarks/mxu_peak_probe.py:
+HIGHEST-precision f32 is ~3x slower, DEFAULT ~= bf16), so 197e12 is the
+one honest ceiling -- the 90 TFLOP/s "measured f32 ceiling" the roofline
+used was an end-to-end XLA-trainer number that these Pallas kernels
+exceed (weights stay VMEM-resident, no inter-op HBM traffic; the w4096
+rollout sustains ~148 TFLOP/s counted, ~75% of nominal, verified by a
+launch-length linearity + full-output-fence cross-check).
 
 VMEM arithmetic for the trainer rows: the kernel holds FOUR f32 master
 sets resident (params, target, both Adam moments; the opponent set is
@@ -38,8 +44,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-MXU_F32 = 90e12    # measured f32 matmul ceiling (benchmarks/roofline.py)
-MXU_BF16 = 197e12  # nominal bf16 peak
+# One ceiling for both dtype labels: DEFAULT-precision f32 dots already
+# run bf16 multiplies on TPU (see module docstring / mxu_peak_probe.py).
+MXU_PEAK = 197e12
 
 WIDTHS = [(200, 100), (1024, 512), (2048, 1024), (4096, 2048)]
 DTYPES = ["float32", "bfloat16"]
@@ -86,8 +93,7 @@ def bench_trainer(hidden, dtype, num_envs, learn_batch, steps, reps):
     # selfplay actor: 2 forwards over n; learner: 3 forwards + ~2x-fwd
     # backward over B lanes, every step once the ring is warm.
     flops_step = per_lane * (2 * num_envs + 5 * learn_batch)
-    peak = MXU_BF16 if dtype == "bfloat16" else MXU_F32
-    mxu = flops_step * (steps / dt) / peak
+    mxu = flops_step * (steps / dt) / MXU_PEAK
     return {
         "metric": f"fused-dqn-train-w{h1}x{h2}-{dtype}",
         "value": round(rate, 1),
@@ -96,6 +102,7 @@ def bench_trainer(hidden, dtype, num_envs, learn_batch, steps, reps):
         "learn_batch": learn_batch,
         "num_envs": num_envs,
         "mxu_pct": round(100 * mxu, 1),
+        "tflops": round(flops_step * (steps / dt) / 1e12, 1),
         "state_mb_f32_4sets": round(state_mb(h1, h2), 1),
         "loss_finite": bool(jnp.isfinite(jnp.asarray(carry["last_loss"]))),
     }
@@ -124,13 +131,13 @@ def bench_rollout(hidden, dtype, num_envs, steps, reps):
     dt = statistics.median(times)
     rate = num_envs * steps / dt
     flops_step = mlp_flops_per_lane(h1, h2) * 2 * num_envs  # both players
-    peak = MXU_BF16 if dtype == "bfloat16" else MXU_F32
     return {
         "metric": f"fused-policy-rollout-w{h1}x{h2}-{dtype}",
         "value": round(rate, 1),
         "unit": "env-steps/s",
         "num_envs": num_envs,
-        "mxu_pct": round(100 * flops_step * (steps / dt) / peak, 1),
+        "mxu_pct": round(100 * flops_step * (steps / dt) / MXU_PEAK, 1),
+        "tflops": round(flops_step * (steps / dt) / 1e12, 1),
         "weights_mb": round(2 * state_mb(h1, h2, sets=1)
                             * (0.5 if dtype == "bfloat16" else 1.0), 1),
     }
@@ -161,10 +168,13 @@ def main():
                         "error": repr(e)[:200]}), flush=True)
             if args.rollout_only:
                 continue
-            # Trainer: keep the learner batch at a production 1024 lanes
-            # past the reference width so activation slabs stay VMEM-sized.
-            n_tr = 4096 if h1 <= 2048 else 2048
-            B = n_tr if h1 <= 200 else 1024
+            # Trainer: shrink envs/batch as width grows -- the actor's
+            # [H1, n] activations and the learner slabs both feed the
+            # register-spill scoped VMEM (w2048 at n=4096 spills 56 MB
+            # and exceeds the 128 MB core even though the master state
+            # is only 42 MB).
+            n_tr = 4096 if h1 <= 1024 else 1024
+            B = n_tr if h1 <= 200 else (1024 if h1 <= 1024 else 512)
             if state_mb(h1, h2) > 120.0:
                 print(json.dumps({
                     "metric": f"fused-dqn-train-w{h1}x{h2}-{dtype}",
@@ -174,13 +184,22 @@ def main():
                             "use the XLA path (benchmarks/width_dtype.py) "
                             "at this width"}), flush=True)
                 continue
-            try:
-                print(json.dumps(bench_trainer((h1, h2), dtype, n_tr, B,
-                                               steps, reps)), flush=True)
-            except Exception as e:  # noqa: BLE001 -- record the boundary
+            # Learner activations/grad slabs scale with B; on a VMEM
+            # compile failure retry with a smaller learn batch and record
+            # which B ran.
+            last_err = None
+            while B >= 256:
+                try:
+                    print(json.dumps(bench_trainer((h1, h2), dtype, n_tr, B,
+                                                   steps, reps)), flush=True)
+                    break
+                except Exception as e:  # noqa: BLE001 -- record boundary
+                    last_err = e
+                    B //= 2
+            else:
                 print(json.dumps({
                     "metric": f"fused-dqn-train-w{h1}x{h2}-{dtype}",
-                    "error": repr(e)[:200]}), flush=True)
+                    "error": repr(last_err)[:200]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -211,10 +211,9 @@ def cmd_train(args):
         if env_params.random_start and args.greedy_actor:
             raise SystemExit("--random-start needs the on-chip PRNG, which "
                              "--greedy-actor skips; drop one of the two")
-        if args.compute_dtype != "float32":
-            raise SystemExit("--fused-kernel runs float32 (master state "
-                             "must stay f32 on-chip); drop --compute-dtype "
-                             "or the --fused-kernel flag")
+        # --compute-dtype flows into the kernel since round 5: bf16
+        # forward/backward matmul operands, f32 master state on-chip
+        # (ops.fused_trainer.learn_math compute_dtype).
         mode, opp = _opponent_mode(args)
         cfg = D.DQNConfig(
             opponent=mode,
@@ -227,7 +226,8 @@ def cmd_train(args):
             hidden=tuple(args.hidden) if args.hidden else (200, 100),
             gamma=args.gamma if args.gamma is not None else 0.90,
             epsilon=args.epsilon if args.epsilon is not None else 0.7,
-            lr=args.lr or 0.01)
+            lr=args.lr or 0.01,
+            compute_dtype=args.compute_dtype)
         carry = FT.fused_dqn_init(key, cfg, env_params, args.num_envs, opp,
                                   learn_batch=args.learn_batch,
                                   learn_rounds=args.learn_rounds)

@@ -357,7 +357,8 @@ def test_e2e_width_generic():
     _check(cfg, ep, got, want, n)
 
 
-def test_e2e_bf16_matches_f32_under_decisive_actions():
+@pytest.mark.parametrize("ring_hbm", [False, True])
+def test_e2e_bf16_matches_f32_under_decisive_actions(ring_hbm):
     """END-TO-END f32-vs-bf16 agreement (VERDICT r4 item 2): run the SAME
     fused training chunk in both compute dtypes.  The last-layer biases
     are spread 500 apart, so every argmax (actor, Double-DQN's best_a)
@@ -382,7 +383,7 @@ def test_e2e_bf16_matches_f32_under_decisive_actions():
     race = _race_start(n, seed=200)
 
     def mk():
-        carry = _mk(cfg32, ep, n, None, seed=0, race=race)
+        carry = _mk(cfg32, ep, n, None, seed=0, race=race, ring_hbm=ring_hbm)
         spread = jnp.arange(cfg32.num_actions, dtype=jnp.float32)[:, None] * 500.0
         carry["p"] = carry["p"][:5] + (carry["p"][5] + spread,)
         carry["tp"] = carry["tp"][:5] + (carry["tp"][5] + spread,)
