@@ -31,7 +31,13 @@ All per-step counts are per GRID step (all lanes), f32.  MAC = 2 FLOPs.
 
 import json
 
-MXU_F32 = 90e12          # measured f32 matmul ceiling (counted FLOPs)
+# Historical denominator for these rows (kept so the table stays
+# comparable across rounds).  Round 5's mxu_peak_probe.py showed this is
+# an XLA end-to-end number, not a hardware peak: DEFAULT-precision f32
+# dots already run bf16 multiplies, and Pallas kernels with resident
+# weights sustain 151 TFLOP/s -- the fused width study
+# (fused_width_dtype.py) therefore uses the 197e12 nominal ceiling.
+MXU_F32 = 90e12
 HBM = 819e9              # nominal bytes/s
 VPU = 6.1e12             # lane-ops/s (derived above)
 DISPATCH = 0.025         # s per launch
