@@ -86,6 +86,10 @@ class HDQNConfig:
     # Set by parallel.spmd for data-parallel training: psum'd metrics,
     # pmean'd gradients, globally agreed learn gates.
     pmean_axis: str | None = struct.field(pytree_node=False, default=None)
+    # Mixed precision for both learners' forwards (agents.dqn contract:
+    # bf16 matmul operands, f32 masters/moments); flows into the fused
+    # kernel too (ops.fused_hdqn).
+    compute_dtype: str = struct.field(pytree_node=False, default="float32")
 
     def lower_cfg(self) -> D.DQNConfig:
         return D.DQNConfig(
@@ -93,7 +97,8 @@ class HDQNConfig:
             epsilon=self.epsilon, memory_capacity=self.memory_capacity,
             target_sync=self.target_sync, obs_dim=self.obs_dim + 1,
             num_actions=self.num_actions, hidden=self.hidden,
-            mask_terminal=self.mask_terminal)
+            mask_terminal=self.mask_terminal,
+            compute_dtype=self.compute_dtype)
 
     def upper_cfg(self) -> D.DQNConfig:
         return D.DQNConfig(
@@ -101,7 +106,8 @@ class HDQNConfig:
             epsilon=self.epsilon, memory_capacity=self.goal_memory_capacity,
             target_sync=self.target_sync, obs_dim=self.obs_dim,
             num_actions=self.num_goals, hidden=self.hidden,
-            mask_terminal=self.mask_terminal)
+            mask_terminal=self.mask_terminal,
+            compute_dtype=self.compute_dtype)
 
 
 @struct.dataclass

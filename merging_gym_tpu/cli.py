@@ -65,7 +65,7 @@ def _train_args(p):
                    help="Q-net hidden widths (dqn; default 200 100)")
     p.add_argument("--compute-dtype", default="float32",
                    choices=("float32", "bfloat16"),
-                   help="dqn: forward-pass dtype (master params stay f32)")
+                   help="dqn/hdqn: forward-pass dtype (master params stay f32; flows into the fused kernels too)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="run directory (default: reference-style name)")
     p.add_argument("--per", action="store_true", help="prioritised replay (rainbow)")
@@ -190,10 +190,14 @@ def cmd_train(args):
                                                save_params_npz)
     from merging_gym_tpu.io.metrics import MetricsWriter, rates_from_counters
 
-    if args.algo != "dqn" and (args.hidden or args.compute_dtype != "float32"):
+    if args.algo not in ("dqn", "hdqn") and (
+            args.hidden or args.compute_dtype != "float32"):
         raise SystemExit("--hidden/--compute-dtype are wired into the dqn "
-                         f"trainer only; --algo {args.algo} would silently "
-                         "ignore them (drop the flags or use --algo dqn)")
+                         f"and hdqn trainers only; --algo {args.algo} would "
+                         "silently ignore them (drop the flags or switch "
+                         "algo)")
+    if args.algo == "hdqn" and args.hidden:
+        raise SystemExit("--hidden is wired into the dqn trainer only")
     env_params = _env_params(args)
     out = args.out or run_dir_name(f" {args.algo}", args.opponent,
                                    env_params.reward_tuple())
@@ -288,7 +292,8 @@ def cmd_train(args):
             goal_memory_capacity=args.goal_memory_capacity or 2 * args.num_envs,
             gamma=args.gamma if args.gamma is not None else 0.90,
             epsilon=args.epsilon if args.epsilon is not None else 0.7,
-            lr=args.lr or 0.01)
+            lr=args.lr or 0.01,
+            compute_dtype=args.compute_dtype)
         opp_u = opp_l = None
         if mode == D.OPP_FROZEN:
             opp_u, opp_l = _load_frozen_hdqn(args.opponent, cfg)
@@ -480,7 +485,8 @@ def cmd_train(args):
             goal_memory_capacity=args.goal_memory_capacity or 200,
             batch_size=args.batch_size or 128, lr=args.lr or 0.01,
             gamma=args.gamma if args.gamma is not None else 0.90,
-            epsilon=args.epsilon if args.epsilon is not None else 0.7)
+            epsilon=args.epsilon if args.epsilon is not None else 0.7,
+            compute_dtype=args.compute_dtype)
         opp_u = opp_l = None
         if mode == D.OPP_FROZEN:
             opp_u, opp_l = _load_frozen_hdqn(args.opponent, cfg)

@@ -86,7 +86,8 @@ def _goal_status(obs10):
 def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, cols_ref,
             *refs,
             n, R_lo, R_up, B, opp, p_greedy, num_actions, num_goals, gamma,
-            lr, target_sync, mask_terminal, greedy, random_start):
+            lr, target_sync, mask_terminal, greedy, random_start,
+            compute_dtype="float32"):
     # inputs: u_p 6, u_tp 6, u_m 6, u_v 6, l_p 6, l_tp 6, l_m 6, l_v 6,
     #         opp_u 6, opp_l 6, state 1, lo_ring 1, up_ring 1   (63)
     # outputs: the 48 learner arrays + state + lo_ring + up_ring + met +
@@ -126,8 +127,10 @@ def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, cols_ref,
         bits = pltpu.bitcast(pltpu.prng_random_bits((10, n)), jnp.uint32)
     threshold = jnp.uint32(min(int(p_greedy * 4294967296.0), 4294967295))
 
+    cdt = jnp.dtype(compute_dtype)
+
     def eps_greedy(params6, x, num_a, mask_b, rand_b):
-        _, _, _, _, q = _fwd(params6, x)
+        _, _, _, _, q = _fwd(params6, x, cdt)
         best = _argmax0(q, num_a)
         if greedy:
             return best
@@ -223,7 +226,8 @@ def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, cols_ref,
         new_p, new_m, new_v, loss = learn_math(
             p6, tp6, tuple(r[:] for r in l_o[2]),
             tuple(r[:] for r in l_o[3]), batch, lc_lo + 1, gamma=gamma,
-            lr=lr, num_actions=num_actions, mask_terminal=mask_terminal)
+            lr=lr, num_actions=num_actions, mask_terminal=mask_terminal,
+            compute_dtype=cdt)
         for dst, val in zip(l_o[0] + l_o[1] + l_o[2] + l_o[3],
                             new_p + tp6 + new_m + new_v):
             dst[:] = val
@@ -268,7 +272,8 @@ def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, cols_ref,
         new_p, new_m, new_v, _ = learn_math(
             p6, tp6, tuple(r[:] for r in u_o[2]),
             tuple(r[:] for r in u_o[3]), batch, lc_up + 1, gamma=gamma,
-            lr=lr, num_actions=num_goals, mask_terminal=mask_terminal)
+            lr=lr, num_actions=num_goals, mask_terminal=mask_terminal,
+            compute_dtype=cdt)
         for dst, val in zip(u_o[0] + u_o[1] + u_o[2] + u_o[3],
                             new_p + tp6 + new_m + new_v):
             dst[:] = val
@@ -313,16 +318,16 @@ def _kernel(cfg_ref, rewards_ref, lo_rounds_ref, up_rounds_ref, cols_ref,
     jax.jit, static_argnames=("num_steps", "n", "R_lo", "R_up", "B", "opp",
                               "p_greedy", "num_actions", "num_goals", "gamma",
                               "lr", "target_sync", "mask_terminal", "greedy",
-                              "random_start", "interpret"))
+                              "random_start", "interpret", "compute_dtype"))
 def _call(cfg, rewards_vec, lo_rounds, up_rounds, cols, arrays, num_steps, n,
           R_lo, R_up, B, opp, p_greedy, num_actions, num_goals, gamma, lr,
           target_sync, mask_terminal, greedy, random_start=False,
-          interpret=False):
+          interpret=False, compute_dtype="float32"):
     kernel = functools.partial(
         _kernel, n=n, R_lo=R_lo, R_up=R_up, B=B, opp=opp, p_greedy=p_greedy,
         num_actions=num_actions, num_goals=num_goals, gamma=gamma, lr=lr,
         target_sync=target_sync, mask_terminal=mask_terminal, greedy=greedy,
-        random_start=random_start)
+        random_start=random_start, compute_dtype=compute_dtype)
     whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
@@ -515,7 +520,8 @@ def fused_hdqn_chunk(cfg, env_params, carry, num_steps, seed, *,
                 cfg.num_actions, cfg.num_goals, float(cfg.gamma),
                 float(cfg.lr), int(cfg.target_sync), bool(cfg.mask_terminal),
                 bool(greedy), random_start=bool(env_params.random_start),
-                interpret=os.environ.get("MGT_FUSED_INTERPRET", "") == "1")
+                interpret=os.environ.get("MGT_FUSED_INTERPRET", "") == "1",
+                compute_dtype=str(getattr(cfg, "compute_dtype", "float32")))
     groups = [tuple(out[k * 6:(k + 1) * 6]) for k in range(8)]
     met = np.asarray(out[51]).sum(axis=1)
     return apply_hdqn_chunk(carry, groups, out[48], out[49], out[50],

@@ -330,3 +330,60 @@ def test_fused_hdqn_orbax_resume_equals_continue(tmp_path):
     for k in ("lo_learns", "steps", "env_steps", "episodes", "collisions",
               "wins", "sum_ep_reward", "last_loss"):
         assert cont[k] == resumed[k], k
+
+
+def test_fused_hdqn_bf16_matches_f32_under_decisive_actions():
+    """f32-vs-bf16 agreement for the hierarchical kernel (the
+    test_fused_trainer_e2e decisive-bias pattern): output biases of BOTH
+    nets spread 500 apart so every argmax (meta goal pick, lower action,
+    both learners' best_a) is decisive in either precision -- the two
+    runs then take identical goals/actions, so env state, both rings and
+    all metrics must match exactly, with the learners' params inside the
+    accumulated per-update drift bound and masters f32."""
+    n, T = 128, 26
+    lr = 1e-4
+    cfg32 = HDQNConfig(lr=lr, gamma=0.9, target_sync=4,
+                       memory_capacity=2 * n, goal_memory_capacity=2 * n,
+                       opponent=FT.OPP_L0)
+    cfg16 = cfg32.replace(compute_dtype="bfloat16")
+    ep = EnvParams(max_steps=25)
+    rng = np.random.default_rng(77)
+    lo_rounds = rng.integers(0, 2, T).astype(np.int32)
+    up_rounds = rng.integers(0, 2, T).astype(np.int32)
+    race = _race(n, 700)
+
+    def mk():
+        carry = _mk(cfg32, ep, n, seed=2, race=race)
+        for k, na in (("u_p", cfg32.num_goals), ("u_tp", cfg32.num_goals),
+                      ("l_p", cfg32.num_actions), ("l_tp", cfg32.num_actions)):
+            spread = jnp.arange(na, dtype=jnp.float32)[:, None] * 500.0
+            carry[k] = carry[k][:5] + (carry[k][5] + spread,)
+        carry["opp_u"], carry["opp_l"] = carry["u_p"], carry["l_p"]
+        return carry
+
+    def run(cfg):
+        got, lo = mk(), 0
+        for hi in (1, T):
+            got = FH.fused_hdqn_chunk(cfg, ep, got, hi - lo, seed=0,
+                                      greedy=True,
+                                      lo_rounds=lo_rounds[lo:hi],
+                                      up_rounds=up_rounds[lo:hi])
+            lo = hi
+        return got
+
+    g32, g16 = run(cfg32), run(cfg16)
+    np.testing.assert_array_equal(np.asarray(g16["state"]),
+                                  np.asarray(g32["state"]))
+    np.testing.assert_array_equal(np.asarray(g16["lo_ring"]),
+                                  np.asarray(g32["lo_ring"]))
+    np.testing.assert_array_equal(np.asarray(g16["up_ring"]),
+                                  np.asarray(g32["up_ring"]))
+    for k in ("episodes", "collisions", "wins", "lo_learns"):
+        assert g16[k] == g32[k], k
+    assert g16["lo_learns"] > 0
+    bound = 2.0 * lr * max(g32["lo_learns"], 1)
+    for grp in ("u_p", "l_p"):
+        for a16, a32 in zip(g16[grp], g32[grp]):
+            assert a16.dtype == jnp.float32
+            d = np.abs(np.asarray(a16) - np.asarray(a32)).max()
+            assert d <= bound, f"{grp} drift {d:.2e} > {bound:.2e}"
