@@ -134,16 +134,20 @@ def bench_dqn(num_envs, steps, chunks):
             learns_per_sec=round(steps * chunks / dt, 1))
 
 
-def bench_dqn_fused(num_envs, steps, chunks, learn_batch=None):
+def bench_dqn_fused(num_envs, steps, chunks, learn_batch=None,
+                    hidden=(200, 100), compute_dtype="float32"):
     """Single-kernel DQN trainer (ops.fused_trainer): actor + env + ring
     replay + Double-DQN learner + Adam as ONE pallas_call per chunk.
     Learner batch = num_envs (one whole-slab sample per step) unless
-    ``learn_batch`` (a random disjoint lane window of that width)."""
+    ``learn_batch`` (a random disjoint lane window of that width).
+    ``hidden``/``compute_dtype``: production-width / mixed-precision
+    variants (the full sweep lives in benchmarks/fused_width_dtype.py)."""
     from merging_gym_tpu.agents import dqn as D
     from merging_gym_tpu.core.env import EnvParams
     from merging_gym_tpu.ops import fused_trainer as FT
 
-    cfg = D.DQNConfig(memory_capacity=4 * num_envs, opponent=D.OPP_SELFPLAY)
+    cfg = D.DQNConfig(memory_capacity=4 * num_envs, opponent=D.OPP_SELFPLAY,
+                      hidden=tuple(hidden), compute_dtype=compute_dtype)
     env_params = EnvParams()
     carry = FT.fused_dqn_init(jax.random.key(0), cfg, env_params, num_envs,
                               learn_batch=learn_batch)
@@ -155,6 +159,10 @@ def bench_dqn_fused(num_envs, steps, chunks, learn_batch=None):
         float(jnp.sum(carry["p"][0])); float(jnp.sum(carry["env"]))
     dt = time.perf_counter() - t0
     tag = f"-b{learn_batch}" if learn_batch else ""
+    if hidden != (200, 100):
+        tag += f"-w{hidden[0]}x{hidden[1]}"
+    if compute_dtype != "float32":
+        tag += "-bf16"
     _report(f"dqn-train-fused-{num_envs}{tag}",
             num_envs * steps * chunks / dt,
             "env-steps/s", learns_per_sec=round(steps * chunks / dt, 1))
@@ -370,6 +378,11 @@ def main():
         for n, t in ([(4096, 512)] if q
                      else [(4096, 8192), (16384, 4096)]):
             bench_dqn_fused(n, t, 2 if q else 5)
+        # Production-width mixed-precision row (full sweep:
+        # benchmarks/fused_width_dtype.py).
+        bench_dqn_fused(4096 if not q else 1024, 512 if q else 2048,
+                        2 if q else 3, learn_batch=1024 if not q else 512,
+                        hidden=(1024, 512), compute_dtype="bfloat16")
         if not q:
             bench_dqn_fused(16384, 4096, 5, learn_batch=128)
     bench_hdqn(256 if q else 1024, 100 if q else 200, 2 if q else 5)
