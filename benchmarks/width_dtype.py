@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-WIDTHS = [(200, 100), (1024, 512), (4096, 2048)]
+WIDTHS = [(200, 100), (1024, 512), (2048, 1024), (4096, 2048)]
 DTYPES = ["float32", "bfloat16"]
 
 
