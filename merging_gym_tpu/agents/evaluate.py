@@ -124,7 +124,7 @@ def round_robin(named_policies: dict, env_params: EnvParams, key: jax.Array,
 def evaluate_fused(params1, params2=None, env_params: EnvParams = None,
                    num_envs: int = 4096, num_steps: int = 2600,
                    greedy: bool = True, epsilon: float = 0.7,
-                   seed: int = 0) -> dict:
+                   seed: int = 0, compute_dtype: str = "float32") -> dict:
     """``evaluate`` via the single-kernel policy rollout (Q-net MLPs only).
 
     ``params1``/``params2`` are ``nn.mlp.qnet_init`` param dicts;
@@ -132,13 +132,17 @@ def evaluate_fused(params1, params2=None, env_params: EnvParams = None,
     kernel (ops.fused_policy_rollout) and computes the same outcome
     dict host-side.  With the default ``num_steps`` >= the 2,501-step
     timeout, every env finishes at least one episode.
+    ``compute_dtype="bfloat16"`` stores the nets' weights bf16-resident
+    (the fused_policy_rollout mixed-precision contract) -- the capacity
+    lever for evaluating production-width nets.
     """
     from merging_gym_tpu.ops.fused_policy_rollout import fused_policy_rollout
 
     out = fused_policy_rollout(
         num_steps, num_envs, params1, params2, greedy=greedy,
         epsilon=epsilon, seed=seed,
-        env_params=env_params or EnvParams())
+        env_params=env_params or EnvParams(),
+        compute_dtype=compute_dtype)
     done = np.asarray(out["done"])            # [T, N]
     winner = np.asarray(out["winner"])
     collision = np.asarray(out["collision"])

@@ -173,3 +173,22 @@ def test_bf16_rollout_agrees_with_f32():
     assert q16.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(q16), np.asarray(q32),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_evaluate_fused_bf16_matches_f32_under_decisive_bias():
+    """evaluate_fused's compute_dtype plumbing: with decisively separated
+    output biases both precisions play identical matches, so the outcome
+    dicts must be equal."""
+    import jax.numpy as jnp
+
+    from merging_gym_tpu.agents.evaluate import evaluate_fused
+
+    params = _params(8)
+    params["fc2"]["b"] = params["fc2"]["b"] + jnp.arange(
+        C.NUM_ACTIONS, dtype=jnp.float32) * 300.0
+    ep = EnvParams(max_steps=150)
+    a = evaluate_fused(params, params, ep, num_envs=128, num_steps=160)
+    b = evaluate_fused(params, params, ep, num_envs=128, num_steps=160,
+                       compute_dtype="bfloat16")
+    assert a == b
+    assert a["episodes"] > 0
